@@ -1,0 +1,364 @@
+"""Shared transformer / conv building blocks (Flax linen, NHWC, bf16-friendly).
+
+TPU-native re-design of the reference's module zoo
+(reference: segmentation/denseclip/models.py):
+
+  * `LayerNorm` — fp32-stable layer norm matching the reference's fp16-safe
+    subclass (models.py:243-249): statistics and affine in fp32, cast back.
+  * `QuickGELU` — x * sigmoid(1.702 x) (models.py:252-254).
+  * `MultiHeadAttention` — CLIP-style MHA with a *fused* QKV projection
+    (one [D, 3D] matmul feeding the MXU, unlike torch's nn.MultiheadAttention
+    packed-weight emulation), optional causal masking, and a pluggable
+    attention core (XLA einsum softmax or a Pallas flash kernel).
+  * `MLP` — c_fc -> QuickGELU -> c_proj (models.py:277-281).
+  * `ResidualAttentionBlock` — pre-LN block (models.py:271-294) with
+    per-sample stochastic depth.
+  * `Transformer` — a `nn.scan` stack: the block is compiled ONCE and iterated
+    by XLA, with per-layer drop-path rates as a scanned input; taps for
+    intermediate layers fall out of the scan for free.  NOTE: the reference's
+    `Transformer.forward` applies its blocks TWICE due to a bug
+    (models.py:305-307); we implement single-pass CLIP semantics and document
+    the divergence (see SURVEY.md §7 "hard parts").
+  * `ConvBNReLU` — conv + (batch)norm + relu in NHWC (models.py:13-20).
+
+All dense/conv compute can run in bf16 (`dtype`), with fp32 parameters and
+fp32 softmax/normalization for stability.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+# Attention core implementations, selectable per-module or globally.
+ATTN_XLA = "xla"
+ATTN_FLASH = "flash"  # Pallas flash attention (TPU only)
+ATTN_AUTO = "auto"
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """CLIP's GELU approximation (reference models.py:252-254)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm with fp32 statistics regardless of input dtype.
+
+    Matches the reference's fp16-safe LayerNorm (models.py:243-249): the input
+    is upcast to fp32 for normalization + affine, then cast back.
+    """
+
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        orig_dtype = x.dtype
+        x = x.astype(jnp.float32)
+        dim = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        mean = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(orig_dtype)
+
+
+def _xla_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    causal: bool,
+) -> jnp.ndarray:
+    """Plain XLA attention: [B, N, H, Dh] inputs, fp32 softmax."""
+    head_dim = q.shape[-1]
+    scale = head_dim**-0.5
+    logits = jnp.einsum(
+        "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if causal:
+        n, m = logits.shape[-2], logits.shape[-1]
+        mask = jnp.tril(jnp.ones((n, m), dtype=bool))
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
+    return jnp.einsum("bhnm,bmhd->bnhd", weights, v)
+
+
+def _flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    causal: bool,
+) -> jnp.ndarray:
+    """Pallas TPU flash attention. Inputs [B, N, H, Dh]."""
+    from denseclip_vit_multimodal_tpu.ops.attention import flash_attention
+
+    return flash_attention(q, k, v, causal=causal)
+
+
+def attention_core(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = False,
+    impl: str = ATTN_AUTO,
+) -> jnp.ndarray:
+    """Dispatch to the configured attention implementation."""
+    if impl == ATTN_AUTO:
+        from denseclip_vit_multimodal_tpu.ops.attention import flash_supported
+
+        impl = ATTN_FLASH if flash_supported(q) else ATTN_XLA
+    if impl == ATTN_FLASH:
+        return _flash_attention(q, k, v, causal)
+    return _xla_attention(q, k, v, causal)
+
+
+class MultiHeadAttention(nn.Module):
+    """CLIP-style multi-head self/cross attention with fused QKV.
+
+    Parameter layout (importer target, see train/clip_import.py):
+      qkv/kernel [D, 3D], qkv/bias [3D]  <- torch in_proj_weight.T / in_proj_bias
+      out/kernel [D, D],  out/bias [D]   <- torch out_proj
+
+    `use_qkv_bias=False` reproduces the reference's einsum `Attention`
+    (models.py:311-344) used in the ContextDecoder, which has separate
+    unbiased q/k/v projections; we still fuse them into one matmul for
+    self-attention and a [D, 2D] kv matmul for cross-attention.
+    """
+
+    num_heads: int
+    causal: bool = False
+    use_qkv_bias: bool = True
+    attn_impl: str = ATTN_AUTO
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, kv: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        dim = x.shape[-1]
+        assert dim % self.num_heads == 0, (dim, self.num_heads)
+        head_dim = dim // self.num_heads
+        dense = functools.partial(
+            nn.Dense,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=nn.initializers.xavier_uniform(),
+        )
+
+        if kv is None:
+            qkv = dense(3 * dim, use_bias=self.use_qkv_bias, name="qkv")(x)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = dense(dim, use_bias=self.use_qkv_bias, name="q")(x)
+            kv_proj = dense(2 * dim, use_bias=self.use_qkv_bias, name="kv")(kv)
+            k, v = jnp.split(kv_proj, 2, axis=-1)
+
+        b, n = q.shape[0], q.shape[1]
+        m = k.shape[1]
+        q = q.reshape(b, n, self.num_heads, head_dim)
+        k = k.reshape(b, m, self.num_heads, head_dim)
+        v = v.reshape(b, m, self.num_heads, head_dim)
+
+        out = attention_core(q, k, v, causal=self.causal, impl=self.attn_impl)
+        out = out.reshape(b, n, dim)
+        return dense(dim, use_bias=True, name="out")(out)
+
+
+class MLP(nn.Module):
+    """Transformer MLP: c_fc -> activation -> c_proj (reference models.py:277-281)."""
+
+    hidden_mult: int = 4
+    activation: Callable = quick_gelu
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dim = x.shape[-1]
+        h = nn.Dense(
+            self.hidden_mult * dim,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="c_fc",
+        )(x)
+        h = self.activation(h)
+        return nn.Dense(
+            dim, dtype=self.dtype, param_dtype=jnp.float32, name="c_proj"
+        )(h)
+
+
+def drop_path(
+    x: jnp.ndarray,
+    rate: jnp.ndarray,
+    deterministic: bool,
+    rng: Optional[jax.Array],
+) -> jnp.ndarray:
+    """Per-sample stochastic depth (reference models.py:257-268).
+
+    `rate` may be a traced scalar (per-layer rates ride through `nn.scan`).
+    """
+    if deterministic or rng is None:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape=shape)
+    return jnp.where(mask, x / jnp.maximum(keep, 1e-8), jnp.zeros_like(x))
+
+
+class ResidualAttentionBlock(nn.Module):
+    """Pre-LN transformer block (reference models.py:271-294)."""
+
+    num_heads: int
+    causal: bool = False
+    attn_impl: str = ATTN_AUTO
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        drop_path_rate: jnp.ndarray | float = 0.0,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        rng1 = rng2 = None
+        if not deterministic and self.has_rng("dropout"):
+            rng1 = self.make_rng("dropout")
+            rng2 = self.make_rng("dropout")
+        attn_out = MultiHeadAttention(
+            num_heads=self.num_heads,
+            causal=self.causal,
+            attn_impl=self.attn_impl,
+            dtype=self.dtype,
+            name="attn",
+        )(LayerNorm(name="ln_1")(x).astype(self.dtype))
+        x = x + drop_path(attn_out, drop_path_rate, deterministic, rng1)
+        mlp_out = MLP(dtype=self.dtype, name="mlp")(
+            LayerNorm(name="ln_2")(x).astype(self.dtype)
+        )
+        x = x + drop_path(mlp_out, drop_path_rate, deterministic, rng2)
+        return x
+
+
+class Transformer(nn.Module):
+    """Scan-compiled stack of residual attention blocks.
+
+    Returns `(final, taps)` where `taps` is `[layers, B, N, D]` containing the
+    output of every block — the ViT backbone selects its `out_indices` from
+    this for free.  Single-pass semantics (the reference double-applies its
+    stack, models.py:305-307 — a bug we do not reproduce; divergence is
+    documented in SURVEY.md §7).
+    """
+
+    width: int
+    layers: int
+    heads: int
+    causal: bool = False
+    drop_path_rate: float = 0.0
+    attn_impl: str = ATTN_AUTO
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, deterministic: bool = True
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        # Linear stochastic-depth decay over layers (reference models.py:302).
+        rates = jnp.linspace(0.0, self.drop_path_rate, self.layers)
+        num_heads = self.heads
+        causal = self.causal
+        attn_impl = self.attn_impl
+        dtype = self.dtype
+        remat = self.remat
+
+        class TapBlock(nn.Module):
+            """One scanned step: run the block, emit its output as a tap."""
+
+            @nn.compact
+            def __call__(self, carry, rate):
+                block_cls = ResidualAttentionBlock
+                if remat:
+                    block_cls = nn.remat(block_cls, static_argnums=(3,))
+                y = block_cls(
+                    num_heads=num_heads,
+                    causal=causal,
+                    attn_impl=attn_impl,
+                    dtype=dtype,
+                    name="block",
+                )(carry, rate, deterministic)
+                return y, y
+
+        Scanned = nn.scan(
+            TapBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(0,),
+            length=self.layers,
+            metadata_params={nn.PARTITION_NAME: "layers"},
+        )
+        final, taps = Scanned(name="blocks")(x, rates)
+        return final, taps
+
+
+class ConvBNReLU(nn.Module):
+    """Conv(bias=False) + BatchNorm + ReLU in NHWC (reference models.py:13-20).
+
+    Under pjit with a batch-sharded mesh the batch statistics are global by
+    construction (XLA inserts the cross-device reductions), i.e. this is
+    effectively SyncBN — stronger than the reference's per-GPU BN.
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        pad = self.kernel_size // 2
+        x = nn.Conv(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=[(pad, pad), (pad, pad)],
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "truncated_normal"),
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=jnp.float32,
+            name="bn",
+        )(x)
+        return nn.relu(x)
+
+
+def resize_bilinear(
+    x: jnp.ndarray, size: Tuple[int, int], antialias: bool = False
+) -> jnp.ndarray:
+    """Bilinear resize on NHWC (or [H, W, C]) matching torch align_corners=False.
+
+    `jax.image.resize(method='bilinear')` uses half-pixel centers, the same
+    convention as `F.interpolate(..., align_corners=False)` used throughout
+    the reference (e.g. denseclip.py:847, models.py:489).
+    """
+    if x.ndim == 4:
+        shape = (x.shape[0], size[0], size[1], x.shape[3])
+    elif x.ndim == 3:
+        shape = (size[0], size[1], x.shape[2])
+    else:
+        raise ValueError(f"resize_bilinear expects 3D/4D NHWC input, got {x.shape}")
+    return jax.image.resize(x, shape, method="bilinear", antialias=antialias).astype(
+        x.dtype
+    )

@@ -1,0 +1,258 @@
+"""OpenAI CLIP checkpoint importer: torch .pt (JIT archive) -> Flax PyTree.
+
+TPU-native equivalent of the reference's central CLIP-weight split-loader
+(reference: segmentation/denseclip/denseclip.py:156-191 plus the per-module
+loaders at models.py:459-512 and 629-677):
+
+  * `visual.*` keys -> the backbone param tree; `transformer.* /
+    token_embedding / positional_embedding / ln_final / text_projection`
+    keys -> the text-encoder tree.
+  * visual pos-embed is bilinearly RESIZED when the model's base grid
+    differs (models.py:476-494); text pos-embed is TRUNCATED 77 -> model
+    capacity (models.py:642-644, e.g. 22 for the context encoder).
+  * `text_projection` is skipped on shape mismatch (denseclip.py:180-182),
+    left at its random init.
+  * the ViT `proj` is kept when shapes match, else left at init
+    (models.py:497-500).
+
+Layout conversions (torch -> flax):
+  Linear weight [out, in] -> kernel [in, out] (transpose)
+  Conv2d weight [out, in, kh, kw] -> kernel [kh, kw, in, out]
+  Patch-embed conv [width, 3, p, p] -> matmul kernel [p*p*3, width]
+    flattened in (kh, kw, c) order to match the backbone's reshape.
+  nn.MultiheadAttention in_proj_weight [3D, D] -> fused qkv kernel [D, 3D].
+  Per-layer block weights are STACKED on a leading axis (the `nn.scan`
+  layout of models/layers.py Transformer).
+
+Torch (CPU wheel) is used only as a file reader on the host; nothing torch
+touches the device path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+def load_clip_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read an OpenAI CLIP checkpoint (JIT archive or plain state_dict)."""
+    import torch
+
+    try:
+        model = torch.jit.load(path, map_location="cpu")
+        state = model.state_dict()
+    except RuntimeError:
+        state = torch.load(path, map_location="cpu", weights_only=False)
+        if hasattr(state, "state_dict"):
+            state = state.state_dict()
+    return {k: v.float().numpy() for k, v in state.items() if hasattr(v, "numpy")}
+
+
+def _t(x: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(x.T)
+
+
+def _resize_grid_pos_embed(
+    pos: np.ndarray, new_grid: tuple[int, int]
+) -> np.ndarray:
+    """[1+G*G, D] -> [1+gh*gw, D] bilinear (align_corners=False)."""
+    import jax
+
+    n, d = pos.shape
+    g = int(round((n - 1) ** 0.5))
+    assert g * g == n - 1, f"non-square pos embed: {pos.shape}"
+    gh, gw = new_grid
+    if (gh, gw) == (g, g):
+        return pos
+    spatial = pos[1:].reshape(g, g, d)
+    resized = np.asarray(
+        jax.image.resize(spatial, (gh, gw, d), method="bilinear")
+    )
+    return np.concatenate([pos[:1], resized.reshape(gh * gw, d)], axis=0)
+
+
+def _stack_blocks(
+    state: Dict[str, np.ndarray], prefix: str, layers: int
+) -> Params:
+    """Stack resblock weights into the scan layout [L, ...]."""
+    def take(fmt: str) -> np.ndarray:
+        return np.stack([state[fmt.format(prefix=prefix, i=i)] for i in range(layers)])
+
+    return {
+        "block": {
+            "ln_1": {
+                "scale": take("{prefix}.resblocks.{i}.ln_1.weight"),
+                "bias": take("{prefix}.resblocks.{i}.ln_1.bias"),
+            },
+            "ln_2": {
+                "scale": take("{prefix}.resblocks.{i}.ln_2.weight"),
+                "bias": take("{prefix}.resblocks.{i}.ln_2.bias"),
+            },
+            "attn": {
+                "qkv": {
+                    "kernel": np.stack(
+                        [
+                            _t(state[f"{prefix}.resblocks.{i}.attn.in_proj_weight"])
+                            for i in range(layers)
+                        ]
+                    ),
+                    "bias": take("{prefix}.resblocks.{i}.attn.in_proj_bias"),
+                },
+                "out": {
+                    "kernel": np.stack(
+                        [
+                            _t(state[f"{prefix}.resblocks.{i}.attn.out_proj.weight"])
+                            for i in range(layers)
+                        ]
+                    ),
+                    "bias": take("{prefix}.resblocks.{i}.attn.out_proj.bias"),
+                },
+            },
+            "mlp": {
+                "c_fc": {
+                    "kernel": np.stack(
+                        [
+                            _t(state[f"{prefix}.resblocks.{i}.mlp.c_fc.weight"])
+                            for i in range(layers)
+                        ]
+                    ),
+                    "bias": take("{prefix}.resblocks.{i}.mlp.c_fc.bias"),
+                },
+                "c_proj": {
+                    "kernel": np.stack(
+                        [
+                            _t(state[f"{prefix}.resblocks.{i}.mlp.c_proj.weight"])
+                            for i in range(layers)
+                        ]
+                    ),
+                    "bias": take("{prefix}.resblocks.{i}.mlp.c_proj.bias"),
+                },
+            },
+        }
+    }
+
+
+def import_vit_params(
+    state: Dict[str, np.ndarray],
+    layers: int,
+    base_grid: int,
+    clip_proj_dim: Optional[int] = None,
+) -> Params:
+    """`visual.*` keys of a ViT CLIP checkpoint -> CLIPVisionTransformer params."""
+    conv = state["visual.conv1.weight"]  # [width, 3, p, p]
+    width = conv.shape[0]
+    patch_kernel = conv.transpose(2, 3, 1, 0).reshape(-1, width)
+
+    pos = _resize_grid_pos_embed(
+        state["visual.positional_embedding"], (base_grid, base_grid)
+    )
+
+    params: Params = {
+        "patch_embed": patch_kernel,
+        "class_embedding": state["visual.class_embedding"],
+        "positional_embedding": pos,
+        "ln_pre": {
+            "scale": state["visual.ln_pre.weight"],
+            "bias": state["visual.ln_pre.bias"],
+        },
+        "ln_post": {
+            "scale": state["visual.ln_post.weight"],
+            "bias": state["visual.ln_post.bias"],
+        },
+        "transformer": {
+            "blocks": _stack_blocks(state, "visual.transformer", layers)
+        },
+    }
+    proj = state.get("visual.proj")
+    if proj is not None and (clip_proj_dim is None or proj.shape[1] == clip_proj_dim):
+        params["proj"] = proj
+    return params
+
+
+def import_text_params(
+    state: Dict[str, np.ndarray],
+    layers: int,
+    context_length: int,
+    embed_dim: int,
+) -> Params:
+    """Text-tower keys -> CLIPTextEncoder / CLIPTextContextEncoder params.
+
+    Truncates pos-embed to `context_length`; skips `text_projection` on shape
+    mismatch (caller keeps random init), mirroring denseclip.py:171-186.
+    """
+    pos = state["positional_embedding"]
+    if pos.shape[0] > context_length:
+        pos = pos[:context_length]
+    elif pos.shape[0] < context_length:
+        raise ValueError(
+            f"checkpoint text pos-embed {pos.shape[0]} < model capacity {context_length}"
+        )
+    params: Params = {
+        "token_embedding": {"embedding": state["token_embedding.weight"]},
+        "positional_embedding": pos,
+        "ln_final": {
+            "scale": state["ln_final.weight"],
+            "bias": state["ln_final.bias"],
+        },
+        "transformer": {"blocks": _stack_blocks(state, "transformer", layers)},
+    }
+    tp = state.get("text_projection")
+    if tp is not None and tp.shape[1] == embed_dim:
+        params["text_projection"] = tp
+    return params
+
+
+def _merge_into(dst: Params, src: Params) -> int:
+    """Recursively overwrite dst leaves with src leaves; returns #leaves set."""
+    count = 0
+    for key, value in src.items():
+        if isinstance(value, dict):
+            node = dst.setdefault(key, {})
+            count += _merge_into(node, value)
+        else:
+            if key in dst and tuple(dst[key].shape) != tuple(value.shape):
+                raise ValueError(
+                    f"shape mismatch for {key}: model {dst[key].shape} vs ckpt {value.shape}"
+                )
+            dst[key] = np.asarray(value, dtype=np.float32)
+            count += 1
+    return count
+
+
+def load_clip_into_denseclip(
+    params: Params,
+    clip_path: str,
+    vit_layers: int,
+    vit_base_grid: int,
+    text_layers: int,
+    text_context_length: int,
+    text_embed_dim: int,
+) -> Params:
+    """Load CLIP weights into a DenseCLIP param tree (in place on a copy).
+
+    `params` is the `variables['params']` dict from `model.init`; the
+    backbone lives under 'backbone', the text tower under 'text_encoder'
+    (flax submodule names).  Returns the updated tree.
+    """
+    import jax
+
+    state = load_clip_state_dict(clip_path)
+    params = jax.tree.map(np.asarray, params)
+
+    vit = import_vit_params(
+        state, layers=vit_layers, base_grid=vit_base_grid
+    )
+    n_vis = _merge_into(params["backbone"], vit)
+
+    text = import_text_params(
+        state,
+        layers=text_layers,
+        context_length=text_context_length,
+        embed_dim=text_embed_dim,
+    )
+    n_txt = _merge_into(params["text_encoder"], text)
+    del state
+    return params, n_vis, n_txt

@@ -1,0 +1,88 @@
+"""Config system: _base_ composition, deep merge, overrides, dot access.
+
+The reference's YAML loader ignores `_base_:` keys entirely
+(reference: segmentation/train_denseclip.py:1584-1586 — plain safe_load);
+ours implements the composition its configs clearly intended
+(segmentation/configs/denseclip_multitask_cityscapes.yaml:5-6).
+"""
+
+import pytest
+import yaml
+
+from denseclip_vit_multimodal_tpu.core.config import (
+    Config,
+    apply_overrides,
+    load_config,
+)
+
+
+def _write(tmp_path, name, data):
+    p = tmp_path / name
+    p.write_text(yaml.safe_dump(data))
+    return p
+
+
+def test_base_composition(tmp_path):
+    _write(
+        tmp_path,
+        "base.yaml",
+        {"data": {"classes": 19, "crop_size": [512, 1024]}, "training": {"epochs": 100}},
+    )
+    child = tmp_path / "child.yaml"
+    child.write_text(
+        "_base_: base.yaml\n"
+        "training:\n  epochs: 50\n  batch_size: 8\n"
+    )
+    cfg = load_config(child)
+    assert cfg.data.classes == 19
+    assert cfg.data.crop_size == [512, 1024]
+    assert cfg.training.epochs == 50  # child overrides
+    assert cfg.training.batch_size == 8
+
+
+def test_multi_base_order(tmp_path):
+    _write(tmp_path, "a.yaml", {"x": 1, "y": 1})
+    _write(tmp_path, "b.yaml", {"y": 2, "z": 2})
+    child = tmp_path / "c.yaml"
+    child.write_text("_base_: [a.yaml, b.yaml]\nz: 3\n")
+    cfg = load_config(child)
+    assert cfg.x == 1 and cfg.y == 2 and cfg.z == 3
+
+
+def test_delete_key(tmp_path):
+    _write(tmp_path, "base.yaml", {"model": {"neck": {"type": "FPN"}}})
+    child = tmp_path / "c.yaml"
+    child.write_text("_base_: base.yaml\nmodel:\n  neck: __delete__\n")
+    cfg = load_config(child)
+    assert "neck" not in cfg.model
+
+
+def test_circular_base_detected(tmp_path):
+    a = tmp_path / "a.yaml"
+    b = tmp_path / "b.yaml"
+    a.write_text("_base_: b.yaml\n")
+    b.write_text("_base_: a.yaml\n")
+    with pytest.raises(ValueError):
+        load_config(a)
+
+
+def test_overrides():
+    cfg = {"training": {"optimizer": {"lr": 2e-5}}}
+    apply_overrides(cfg, ["training.optimizer.lr=1e-4", "training.epochs=10"])
+    assert cfg["training"]["optimizer"]["lr"] == 1e-4
+    assert cfg["training"]["epochs"] == 10
+
+
+def test_dot_access_and_get():
+    cfg = Config({"a": {"b": {"c": 3}}})
+    assert cfg.a.b.c == 3
+    assert cfg.a.get("missing", 7) == 7
+    assert cfg.get("a").get("b").c == 3
+
+
+def test_builtin_presets_load():
+    from denseclip_vit_multimodal_tpu.core.config import builtin_config_dir
+
+    for preset in builtin_config_dir().glob("*.yaml"):
+        cfg = load_config(preset)
+        assert "model" in cfg, preset

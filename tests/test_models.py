@@ -1,0 +1,190 @@
+"""Module shape contracts + composite forward behavior (CPU, tiny dims)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from denseclip_vit_multimodal_tpu.models.context_decoder import ContextDecoder
+from denseclip_vit_multimodal_tpu.models.denseclip import (
+    CITYSCAPES_CLASSES,
+    build_denseclip,
+)
+from denseclip_vit_multimodal_tpu.models.heads import FCNHead
+from denseclip_vit_multimodal_tpu.models.necks import FPN, ViTFeatureFusionNeck
+from denseclip_vit_multimodal_tpu.models.text import (
+    CLIPTextContextEncoder,
+    CLIPTextEncoder,
+)
+from denseclip_vit_multimodal_tpu.models.vit import (
+    CLIPVisionTransformer,
+    interpolate_pos_embed,
+)
+from denseclip_vit_multimodal_tpu.text.tokenizer import tokenize
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_vit_out_indices_shapes():
+    vit = CLIPVisionTransformer(
+        patch_size=16, width=96, layers=4, heads=3, out_indices=(0, 2, 3)
+    )
+    x = jnp.zeros((2, 64, 96, 3))
+    variables = vit.init(KEY, x)
+    feats = vit.apply(variables, x)
+    assert len(feats) == 3
+    for f in feats:
+        assert f.shape == (2, 4, 6, 96)
+
+
+def test_vit_pos_embed_interpolation_identity():
+    pe = jnp.arange(5 * 5 * 8 + 8, dtype=jnp.float32).reshape(26, 8)
+    out = interpolate_pos_embed(pe, 5, (5, 5))
+    np.testing.assert_array_equal(out, pe)
+    out2 = interpolate_pos_embed(pe, 5, (7, 3))
+    assert out2.shape == (22, 8)
+    np.testing.assert_array_equal(out2[0], pe[0])  # CLS passes through
+
+
+def test_text_encoder_shapes():
+    enc = CLIPTextEncoder(
+        context_length=6, transformer_layers=2, transformer_width=64,
+        transformer_heads=2, embed_dim=32,
+    )
+    texts = jnp.asarray(tokenize(["road", "sky"], 6))
+    variables = enc.init(KEY, texts)
+    out = enc.apply(variables, texts)
+    assert out.shape == (2, 32)
+
+
+def test_context_encoder_eot_shift():
+    """The EOT gather must target argmax(text)+N2 after context splicing."""
+    enc = CLIPTextContextEncoder(
+        context_length=10, transformer_layers=1, transformer_width=64,
+        transformer_heads=2, embed_dim=16,
+    )
+    texts = jnp.asarray(tokenize(["road", "traffic light"], 6))
+    ctx = jnp.ones((3, 4, 64))
+    variables = enc.init(KEY, texts, ctx)
+    out = enc.apply(variables, texts, ctx)
+    assert out.shape == (3, 2, 16)
+    # Batch rows see identical context => identical embeddings per class.
+    np.testing.assert_allclose(out[0], out[1], rtol=1e-5)
+
+
+def test_context_encoder_context_sensitivity():
+    enc = CLIPTextContextEncoder(
+        context_length=10, transformer_layers=1, transformer_width=64,
+        transformer_heads=2, embed_dim=16,
+    )
+    texts = jnp.asarray(tokenize(["road"], 6))
+    ctx_a = jnp.zeros((1, 4, 64))
+    ctx_b = jnp.ones((1, 4, 64))
+    variables = enc.init(KEY, texts, ctx_a)
+    out_a = enc.apply(variables, texts, ctx_a)
+    out_b = enc.apply(variables, texts, ctx_b)
+    assert not np.allclose(np.asarray(out_a), np.asarray(out_b))
+
+
+def test_context_decoder_shapes():
+    dec = ContextDecoder(
+        transformer_width=32, transformer_heads=2, transformer_layers=2,
+        visual_dim=48, dropout=0.0,
+    )
+    text = jnp.ones((2, 5, 48))
+    visual = jnp.ones((2, 17, 48))
+    variables = dec.init(KEY, text, visual)
+    out = dec.apply(variables, text, visual)
+    assert out.shape == (2, 5, 48)
+
+
+def test_fusion_neck_shapes():
+    neck = ViTFeatureFusionNeck(num_inputs=3, out_channels=24, inter_channels=8)
+    feats = [jnp.ones((2, 4, 6, 16))] * 3
+    variables = neck.init(KEY, feats)
+    out = neck.apply(variables, feats)
+    assert out.shape == (2, 4, 6, 24)
+
+
+def test_fpn_shapes():
+    fpn = FPN(num_inputs=3, out_channels=16)
+    feats = [
+        jnp.ones((2, 16, 16, 8)),
+        jnp.ones((2, 8, 8, 12)),
+        jnp.ones((2, 4, 4, 20)),
+    ]
+    variables = fpn.init(KEY, feats)
+    outs = fpn.apply(variables, feats)
+    assert len(outs) == 3
+    assert outs[0].shape == (2, 16, 16, 16)
+    assert outs[2].shape == (2, 4, 4, 16)
+
+
+def test_fcn_head_chain():
+    """in -> in//4 -> channels -> num_outputs (the appended-classifier quirk,
+    reference denseclip.py:305-309)."""
+    head = FCNHead(in_channels=64, channels=32, num_outputs=19)
+    x = jnp.ones((2, 4, 4, 64))
+    variables = head.init(KEY, x)
+    out = head.apply(variables, x)
+    assert out.shape == (2, 4, 4, 19)
+    p = variables["params"]
+    assert p["conv0"]["kernel"].shape == (3, 3, 64, 16)
+    assert p["conv1"]["kernel"].shape == (1, 1, 16, 32)
+    assert p["classifier"]["kernel"].shape == (1, 1, 32, 19)
+
+
+class TestComposite:
+    @pytest.fixture(scope="class")
+    def built(self, request):
+        cfg = request.getfixturevalue("tiny_model_cfg")
+        model, texts = build_denseclip(cfg, CITYSCAPES_CLASSES)
+        img = jnp.zeros((2, 64, 128, 3))
+        variables = model.init(KEY, img, jnp.asarray(texts))
+        return model, texts, variables
+
+    def test_inference_shapes(self, built):
+        model, texts, variables = built
+        img = jnp.zeros((2, 64, 128, 3))
+        out = model.apply(variables, img, jnp.asarray(texts))
+        assert out["seg"].shape == (2, 64, 128, 19)
+        assert out["depth"].shape == (2, 64, 128, 1)
+
+    def test_train_resizes_to_gt(self, built):
+        model, texts, variables = built
+        img = jnp.zeros((2, 64, 128, 3))
+        out, _ = model.apply(
+            variables,
+            img,
+            jnp.asarray(texts),
+            train=True,
+            gt_hw=(32, 64),
+            mutable=["batch_stats"],
+            rngs={"dropout": KEY},
+        )
+        assert out["seg"].shape == (2, 32, 64, 19)
+        assert out["depth"].shape == (2, 32, 64, 1)
+
+    def test_score_map_range(self, built):
+        model, texts, variables = built
+        img = jax.random.normal(KEY, (1, 64, 128, 3))
+        out = model.apply(
+            variables, img, jnp.asarray(texts), return_features=True
+        )
+        smap = np.asarray(out["score_map"])
+        assert smap.shape == (1, 4, 8, 19)
+        assert np.all(smap <= 1.0 + 1e-5) and np.all(smap >= -1.0 - 1e-5)
+
+    def test_prompt_params_exist(self, built):
+        _, _, variables = built
+        p = variables["params"]
+        assert p["contexts"].shape == (1, 16, 512)
+        # gamma only materializes alongside a context decoder (tiny cfg has none)
+        assert "gamma" not in p
+
+    def test_deterministic_forward(self, built):
+        model, texts, variables = built
+        img = jax.random.normal(KEY, (1, 64, 128, 3))
+        a = model.apply(variables, img, jnp.asarray(texts))
+        b = model.apply(variables, img, jnp.asarray(texts))
+        np.testing.assert_array_equal(np.asarray(a["seg"]), np.asarray(b["seg"]))
