@@ -1,0 +1,273 @@
+"""Fused on-device augmentation: scale+pad+crop+flip+jitter+normalize in jit.
+
+The reference augments on CPU in DataLoader worker processes with
+Albumentations: RandomScale(0.5-2.0) -> PadIfNeeded(value=0, mask 255) ->
+RandomCrop(crop) -> HFlip(0.5) -> optional ColorJitter -> Normalize(CLIP
+stats) -> ToTensor (reference: segmentation/train_denseclip.py:104-172).
+That chain materializes a dynamically-shaped intermediate per step — a shape
+XLA cannot compile.
+
+TPU-native formulation: the whole geometric chain is ONE static-shape
+resampling.  For an output pixel (i, j) of the fixed crop, the chain above is
+exactly
+
+    y_src = (i + oy + 0.5) / s - 0.5        (half-pixel, cv2 convention)
+    x_src = (j' + ox + 0.5) / s - 0.5       j' = flipped j with prob 0.5
+
+where `s` is the sampled scale and (oy, ox) the sampled crop offset in the
+scaled canvas (negative when the scaled image is smaller than the crop ==
+centered PadIfNeeded).  Bilinear gather for the image, nearest for seg /
+depth, out-of-canvas -> fill (0 image, 255 seg, 0 depth).  One pass over the
+source, fixed shapes, batch-vmapped with per-sample PRNG keys; padding pixels
+then normalize to (0-mean)/std exactly as the reference's pad-then-Normalize
+does.
+
+The depth validity mask is recomputed post-transform as depth > 0, matching
+reference cityscapes_depth_seg.py:218.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class AugmentConfig(NamedTuple):
+    crop_size: Tuple[int, int] = (512, 1024)
+    scale_range: Tuple[float, float] = (0.5, 2.0)
+    hflip_prob: float = 0.5
+    norm_mean: Tuple[float, float, float] = (0.48145466, 0.4578275, 0.40821073)
+    norm_std: Tuple[float, float, float] = (0.26862954, 0.26130258, 0.27577711)
+    ignore_index: int = 255
+    # ColorJitter half-ranges; 0 disables (reference get_transform's optional
+    # ColorJitter, train_denseclip.py:141-147).
+    brightness: float = 0.0
+    contrast: float = 0.0
+    saturation: float = 0.0
+
+
+def normalize_image(
+    image: jnp.ndarray,
+    mean: Sequence[float],
+    std: Sequence[float],
+) -> jnp.ndarray:
+    """uint8/float [..., 3] -> CLIP-normalized float32."""
+    x = image.astype(jnp.float32) / 255.0
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    return (x - mean) / std
+
+
+def _sample_geometry(
+    key: jax.Array, src_hw: Tuple[int, int], cfg: AugmentConfig
+):
+    """Sample (scale_y, scale_x, oy, ox, flip) for one image.
+
+    Mimics cv2.resize to ROUNDED integer dims followed by integer-offset
+    RandomCrop / centered PadIfNeeded, so crops land on whole pixels exactly
+    like the Albumentations chain.
+    """
+    h, w = src_hw
+    ch, cw = cfg.crop_size
+    k_scale, k_oy, k_ox, k_flip = jax.random.split(key, 4)
+    s = jax.random.uniform(
+        k_scale, (), jnp.float32, cfg.scale_range[0], cfg.scale_range[1]
+    )
+    sh = jnp.round(s * h)
+    sw = jnp.round(s * w)
+
+    # Integer crop offset in the scaled canvas.  If the scaled image exceeds
+    # the crop, uniform integer in [0, scaled - crop]; otherwise centered
+    # padding -> negative offset -floor((crop - scaled)/2).
+    def offset(k, scaled, crop):
+        span = jnp.maximum(scaled - crop, 0.0)
+        u = jax.random.uniform(k, (), jnp.float32, 0.0, 1.0)
+        pos = jnp.floor(u * (span + 1.0)).clip(0.0, span)
+        neg = -jnp.floor((crop - scaled) / 2.0)
+        return jnp.where(scaled >= crop, pos, neg)
+
+    oy = offset(k_oy, sh, float(ch))
+    ox = offset(k_ox, sw, float(cw))
+    flip = jax.random.bernoulli(k_flip, cfg.hflip_prob)
+    return sh / h, sw / w, oy, ox, flip
+
+
+def _source_coords(
+    sy: jnp.ndarray,
+    sx: jnp.ndarray,
+    oy: jnp.ndarray,
+    ox: jnp.ndarray,
+    flip: jnp.ndarray,
+    crop: Tuple[int, int],
+):
+    """Half-pixel source coordinates for every output pixel of the crop."""
+    ch, cw = crop
+    i = jnp.arange(ch, dtype=jnp.float32)[:, None]  # [ch, 1]
+    j = jnp.arange(cw, dtype=jnp.float32)[None, :]  # [1, cw]
+    j = jnp.where(flip, (cw - 1) - j, j)
+    y = (i + oy + 0.5) / sy - 0.5
+    x = (j + ox + 0.5) / sx - 0.5
+    return jnp.broadcast_to(y, (ch, cw)), jnp.broadcast_to(x, (ch, cw))
+
+
+def _gather_bilinear(
+    img: jnp.ndarray,  # [H, W, C] float32
+    y: jnp.ndarray,  # [ch, cw]
+    x: jnp.ndarray,
+    fill: float,
+) -> jnp.ndarray:
+    h, w = img.shape[:2]
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(x)
+    wy = y - y0
+    wx = x - x0
+
+    def tap(yi, xi):
+        inside = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        vals = img[yc, xc]  # gather [ch, cw, C]
+        return jnp.where(inside[..., None], vals, fill)
+
+    v00 = tap(y0, x0)
+    v01 = tap(y0, x0 + 1)
+    v10 = tap(y0 + 1, x0)
+    v11 = tap(y0 + 1, x0 + 1)
+    top = v00 * (1 - wx[..., None]) + v01 * wx[..., None]
+    bot = v10 * (1 - wx[..., None]) + v11 * wx[..., None]
+    return top * (1 - wy[..., None]) + bot * wy[..., None]
+
+
+def _gather_nearest(
+    arr: jnp.ndarray,  # [H, W] any dtype
+    y: jnp.ndarray,
+    x: jnp.ndarray,
+    fill,
+) -> jnp.ndarray:
+    h, w = arr.shape[:2]
+    yn = jnp.round(y)
+    xn = jnp.round(x)
+    inside = (yn >= 0) & (yn < h) & (xn >= 0) & (xn < w)
+    yc = jnp.clip(yn, 0, h - 1).astype(jnp.int32)
+    xc = jnp.clip(xn, 0, w - 1).astype(jnp.int32)
+    vals = arr[yc, xc]
+    return jnp.where(inside, vals, jnp.asarray(fill, arr.dtype))
+
+
+def _color_jitter(
+    key: jax.Array, img: jnp.ndarray, cfg: AugmentConfig
+) -> jnp.ndarray:
+    """Brightness/contrast/saturation jitter on [0, 255] float RGB."""
+    if not (cfg.brightness or cfg.contrast or cfg.saturation):
+        return img
+    kb, kc, ks = jax.random.split(key, 3)
+    if cfg.brightness:
+        f = jax.random.uniform(
+            kb, (), jnp.float32, 1 - cfg.brightness, 1 + cfg.brightness
+        )
+        img = img * f
+    if cfg.contrast:
+        f = jax.random.uniform(
+            kc, (), jnp.float32, 1 - cfg.contrast, 1 + cfg.contrast
+        )
+        img = (img - jnp.mean(img)) * f + jnp.mean(img)
+    if cfg.saturation:
+        f = jax.random.uniform(
+            ks, (), jnp.float32, 1 - cfg.saturation, 1 + cfg.saturation
+        )
+        gray = jnp.mean(img, axis=-1, keepdims=True)
+        img = gray + (img - gray) * f
+    return jnp.clip(img, 0.0, 255.0)
+
+
+def augment_sample(
+    key: jax.Array,
+    image: jnp.ndarray,  # [H, W, 3] uint8/float
+    seg: Optional[jnp.ndarray],  # [H, W] int
+    depth: Optional[jnp.ndarray],  # [H, W] float
+    cfg: AugmentConfig,
+) -> Dict[str, jnp.ndarray]:
+    """One sample through the fused train-augmentation chain."""
+    src_hw = (image.shape[0], image.shape[1])
+    k_geom, k_color = jax.random.split(key)
+    sy, sx, oy, ox, flip = _sample_geometry(k_geom, src_hw, cfg)
+    y, x = _source_coords(sy, sx, oy, ox, flip, cfg.crop_size)
+
+    img = _gather_bilinear(image.astype(jnp.float32), y, x, fill=0.0)
+    img = _color_jitter(k_color, img, cfg)
+    out: Dict[str, jnp.ndarray] = {
+        "image": normalize_image(img, cfg.norm_mean, cfg.norm_std)
+    }
+    if seg is not None:
+        out["seg"] = _gather_nearest(seg, y, x, cfg.ignore_index).astype(jnp.int32)
+    if depth is not None:
+        d = _gather_nearest(depth, y, x, 0.0).astype(jnp.float32)
+        out["depth"] = d
+        out["depth_mask"] = d > 0.0
+    return out
+
+
+def augment_batch(
+    key: jax.Array,
+    batch: Dict[str, jnp.ndarray],
+    cfg: AugmentConfig,
+) -> Dict[str, jnp.ndarray]:
+    """Batched fused augmentation (vmap over per-sample keys).
+
+    batch keys: 'image' [B,H,W,3]; optional 'seg' [B,H,W], 'depth' [B,H,W].
+    """
+    b = batch["image"].shape[0]
+    keys = jax.random.split(key, b)
+    seg = batch.get("seg")
+    depth = batch.get("depth")
+
+    def one(k, img, sg, dp):
+        return augment_sample(k, img, sg, dp, cfg)
+
+    in_axes = (0, 0, 0 if seg is not None else None, 0 if depth is not None else None)
+    return jax.vmap(one, in_axes=in_axes)(keys, batch["image"], seg, depth)
+
+
+def eval_preprocess_batch(
+    batch: Dict[str, jnp.ndarray],
+    cfg: AugmentConfig,
+    resize_to_crop: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """Validation path: optional resize to crop size + normalize.
+
+    Mirrors the reference val transform Resize(crop) -> Normalize
+    (train_denseclip.py:160-172).  Labels/depth stay at native resolution —
+    the trainer resizes predictions back to GT before scoring, exactly like
+    the reference (train_denseclip.py:462-467).
+    """
+    img = batch["image"].astype(jnp.float32)
+    if resize_to_crop and img.shape[1:3] != tuple(cfg.crop_size):
+        ch, cw = cfg.crop_size
+        img = jax.image.resize(
+            img, (img.shape[0], ch, cw, img.shape[3]), method="bilinear"
+        )
+    out = dict(batch)
+    out["image"] = normalize_image(img, cfg.norm_mean, cfg.norm_std)
+    if "depth" in batch:
+        out["depth_mask"] = batch["depth"] > 0.0
+    return out
+
+
+def augment_config_from_data_cfg(data_cfg, train: bool = True) -> AugmentConfig:
+    """Build an AugmentConfig from the `data:` config section."""
+    get = data_cfg.get if hasattr(data_cfg, "get") else lambda k, d=None: d
+    aug = get("augment", {}) or {}
+    aug_get = aug.get if hasattr(aug, "get") else lambda k, d=None: d
+    return AugmentConfig(
+        crop_size=tuple(get("crop_size", (512, 1024))),
+        scale_range=tuple(get("scale_range", (0.5, 2.0))),
+        hflip_prob=float(aug_get("hflip_prob", 0.5)) if train else 0.0,
+        norm_mean=tuple(get("norm_mean", AugmentConfig().norm_mean)),
+        norm_std=tuple(get("norm_std", AugmentConfig().norm_std)),
+        ignore_index=int(get("ignore_label", 255)),
+        brightness=float(aug_get("brightness", 0.0)) if train else 0.0,
+        contrast=float(aug_get("contrast", 0.0)) if train else 0.0,
+        saturation=float(aug_get("saturation", 0.0)) if train else 0.0,
+    )

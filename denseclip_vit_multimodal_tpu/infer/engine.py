@@ -1,0 +1,183 @@
+"""Inference engines: whole-image, slide-window, multi-scale+flip aug_test.
+
+Covers the reference's serving surface (reference:
+segmentation/denseclip/denseclip.py:938-1041 — `inference`, `simple_test`,
+`aug_test`; test protocol from test.py:91-96 and the slide test_cfg in
+configs/denseclip_fpn_vit-b_640x640_80k.py:50):
+
+  * whole-image: one forward, pos-embeds interpolated to the full grid
+    (models.py:514-540) — the reference's only *working* path;
+  * slide: infer/slide.py batched gather->forward->scatter engine;
+  * aug_test: logits averaged over scales {0.5..1.75} x {flip} in fp32
+    (denseclip.py:1005-1041 averages seg logits and depth maps).
+
+One compiled program per (input shape, mode); an LRU of jitted callables
+keyed on static shapes replaces torch's dynamic re-tracing.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from denseclip_vit_multimodal_tpu.data.augment import AugmentConfig, normalize_image
+from denseclip_vit_multimodal_tpu.infer.slide import slide_inference
+
+
+class Inferencer:
+    """Compiled inference over a fixed model + params.
+
+    `variables` holds {'params', 'batch_stats'}; `texts` is the tokenized
+    class-name buffer.  Raw uint8 NHWC images in, dict of numpy outputs out.
+    """
+
+    def __init__(
+        self,
+        model,
+        variables,
+        texts: np.ndarray,
+        aug_cfg: Optional[AugmentConfig] = None,
+        num_classes: int = 19,
+        with_depth: bool = True,
+    ):
+        self.model = model
+        self.variables = variables
+        self.texts = jnp.asarray(texts)
+        self.aug_cfg = aug_cfg or AugmentConfig()
+        self.num_classes = num_classes
+        self.with_depth = with_depth
+        self._jit_cache: Dict = {}
+
+    # --- compiled kernels, cached per static config ---
+
+    def _whole_fn(self):
+        key = ("whole",)
+        if key not in self._jit_cache:
+
+            def run(variables, image, texts):
+                out = self.model.apply(variables, image, texts, train=False)
+                return out["seg"], out.get("depth")
+
+            self._jit_cache[key] = jax.jit(run)
+        return self._jit_cache[key]
+
+    def _slide_fn(self, crop: Tuple[int, int], stride: Tuple[int, int],
+                  window_batch: int):
+        key = ("slide", crop, stride, window_batch)
+        if key not in self._jit_cache:
+            n_out = self.num_classes + (1 if self.with_depth else 0)
+
+            def window_forward(variables, texts, windows):
+                out = self.model.apply(variables, windows, texts, train=False)
+                parts = [out["seg"]]
+                if self.with_depth and out.get("depth") is not None:
+                    parts.append(out["depth"])
+                return jnp.concatenate(
+                    [p.astype(jnp.float32) for p in parts], axis=-1
+                )
+
+            def run(variables, image, texts):
+                fwd = functools.partial(window_forward, variables, texts)
+                return slide_inference(
+                    fwd, image, n_out, crop=crop, stride=stride,
+                    window_batch=window_batch,
+                )
+
+            self._jit_cache[key] = jax.jit(run)
+        return self._jit_cache[key]
+
+    # --- public API ---
+
+    def preprocess(self, images: np.ndarray) -> jnp.ndarray:
+        """uint8/float [B, H, W, 3] -> CLIP-normalized float32 on device."""
+        return normalize_image(
+            jnp.asarray(images), self.aug_cfg.norm_mean, self.aug_cfg.norm_std
+        )
+
+    def predict(
+        self,
+        images: np.ndarray,
+        mode: str = "whole",
+        crop: Tuple[int, int] = (640, 640),
+        stride: Tuple[int, int] = (426, 426),
+        window_batch: int = 0,
+        preprocessed: bool = False,
+    ) -> Dict[str, np.ndarray]:
+        """Forward one batch; returns {'seg_logits', 'seg', 'depth'?}."""
+        image = images if preprocessed else self.preprocess(images)
+        if mode == "whole":
+            seg_logits, depth = self._whole_fn()(
+                self.variables, image, self.texts
+            )
+        elif mode == "slide":
+            fused = self._slide_fn(tuple(crop), tuple(stride), window_batch)(
+                self.variables, image, self.texts
+            )
+            seg_logits = fused[..., : self.num_classes]
+            depth = (
+                fused[..., self.num_classes :] if self.with_depth else None
+            )
+        else:
+            raise ValueError(f"Unknown inference mode: {mode}")
+        out = {
+            "seg_logits": np.asarray(seg_logits, np.float32),
+            "seg": np.asarray(jnp.argmax(seg_logits, axis=-1), np.int32),
+        }
+        if depth is not None:
+            out["depth"] = np.asarray(depth, np.float32)[..., 0] if depth.ndim == 4 else np.asarray(depth)
+        return out
+
+    def aug_test(
+        self,
+        images: np.ndarray,
+        scales: Sequence[float] = (0.5, 0.75, 1.0, 1.25, 1.5, 1.75),
+        flip: bool = True,
+        mode: str = "whole",
+        **kwargs,
+    ) -> Dict[str, np.ndarray]:
+        """Multi-scale + flip test: average fp32 logits at original size
+        (reference aug_test, denseclip.py:1005-1041; scale set from
+        test.py:91-96)."""
+        b, h, w, _ = images.shape
+        image0 = self.preprocess(images)
+        acc_seg = None
+        acc_depth = None
+        n = 0
+        patch = 16  # keep scaled sizes ViT-grid aligned
+
+        for s in scales:
+            sh = max(int(round(h * s / patch)) * patch, patch)
+            sw = max(int(round(w * s / patch)) * patch, patch)
+            scaled = jax.image.resize(
+                image0, (b, sh, sw, 3), method="bilinear"
+            )
+            views = [scaled] + ([jnp.flip(scaled, axis=2)] if flip else [])
+            for vi, view in enumerate(views):
+                out = self.predict(
+                    view, mode=mode, preprocessed=True, **kwargs
+                )
+                seg = jnp.asarray(out["seg_logits"])
+                if vi == 1:
+                    seg = jnp.flip(seg, axis=2)
+                seg = jax.image.resize(seg, (b, h, w, seg.shape[-1]), method="bilinear")
+                acc_seg = seg if acc_seg is None else acc_seg + seg
+                if "depth" in out:
+                    d = jnp.asarray(out["depth"])
+                    if vi == 1:
+                        d = jnp.flip(d, axis=2)
+                    d = jax.image.resize(d, (b, h, w), method="bilinear")
+                    acc_depth = d if acc_depth is None else acc_depth + d
+                n += 1
+
+        seg_logits = acc_seg / n
+        result = {
+            "seg_logits": np.asarray(seg_logits, np.float32),
+            "seg": np.asarray(jnp.argmax(seg_logits, axis=-1), np.int32),
+        }
+        if acc_depth is not None:
+            result["depth"] = np.asarray(acc_depth / n, np.float32)
+        return result

@@ -1,0 +1,109 @@
+"""Batched sliding-window inference: gather -> batched forward -> scatter-add.
+
+The reference's slide inference lived in mmseg and is broken in-repo; only
+its spec survives — crop 640x640, stride 426x426
+(reference: segmentation/configs/denseclip_fpn_vit-b_640x640_80k.py:50,
+test.py drives mmseg's slide path).  mmseg's implementation loops windows on
+the host, one forward per window, accumulating in a host tensor.
+
+TPU-native design (BASELINE.md north star): the window grid is STATIC for a
+given (image size, crop, stride), so the whole pipeline compiles into one
+XLA program with zero host round-trips:
+
+  1. gather all windows of all images into one [B*n_win, ch, cw, 3] batch
+     (static slices — XLA fuses them into the convolution's input stream);
+  2. ONE batched forward over every window — the ViT sees a big, uniform
+     batch, exactly what keeps the MXU fed;
+  3. scatter-add window logits + a precomputed count map, divide.
+
+The count map is a compile-time constant (same for every image), so the
+normalization is one fused multiply.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def window_origins(size: int, crop: int, stride: int) -> List[int]:
+    """Window start offsets covering `size` (last window clamped flush)."""
+    if size <= crop:
+        return [0]
+    n = int(np.ceil((size - crop) / stride)) + 1
+    return [min(i * stride, size - crop) for i in range(n)]
+
+
+def slide_grid(
+    hw: Tuple[int, int], crop: Tuple[int, int], stride: Tuple[int, int]
+) -> List[Tuple[int, int]]:
+    ys = window_origins(hw[0], crop[0], stride[0])
+    xs = window_origins(hw[1], crop[1], stride[1])
+    return [(y, x) for y in ys for x in xs]
+
+
+def count_map(
+    hw: Tuple[int, int], crop: Tuple[int, int], stride: Tuple[int, int]
+) -> np.ndarray:
+    """[H, W] float32 window-coverage counts (compile-time constant)."""
+    cnt = np.zeros(hw, np.float32)
+    for y, x in slide_grid(hw, crop, stride):
+        cnt[y : y + crop[0], x : x + crop[1]] += 1.0
+    assert (cnt > 0).all(), "slide grid leaves uncovered pixels"
+    return cnt
+
+
+def slide_inference(
+    forward: Callable[[jnp.ndarray], jnp.ndarray],
+    image: jnp.ndarray,  # [B, H, W, 3] preprocessed
+    num_outputs: int,
+    crop: Tuple[int, int] = (640, 640),
+    stride: Tuple[int, int] = (426, 426),
+    window_batch: int = 0,
+) -> jnp.ndarray:
+    """Slide `forward` (window [N,ch,cw,3] -> logits [N,ch,cw,K]) over image.
+
+    Returns [B, H, W, num_outputs] averaged logits.  `window_batch` > 0
+    chunks the window batch through `lax.map` to bound peak memory for very
+    large frames; 0 runs all windows in one forward.
+    """
+    b, h, w, _ = image.shape
+    ch, cw = crop
+    grid = slide_grid((h, w), crop, stride)
+    n_win = len(grid)
+
+    # 1. gather (static slices)
+    windows = jnp.stack(
+        [image[:, y : y + ch, x : x + cw, :] for (y, x) in grid], axis=1
+    )  # [B, n_win, ch, cw, 3]
+    flat = windows.reshape(b * n_win, ch, cw, -1)
+
+    # 2. batched forward
+    if window_batch and window_batch < b * n_win:
+        total = b * n_win
+        pad = (-total) % window_batch
+        padded = jnp.concatenate([flat, flat[: pad]], axis=0) if pad else flat
+        chunks = padded.reshape(-1, window_batch, ch, cw, flat.shape[-1])
+        logits = jax.lax.map(forward, chunks)
+        logits = logits.reshape(-1, ch, cw, num_outputs)[:total]
+    else:
+        logits = forward(flat)
+    logits = logits.reshape(b, n_win, ch, cw, num_outputs).astype(jnp.float32)
+
+    # 3. scatter-add + normalize by the constant coverage map
+    canvas = jnp.zeros((b, h, w, num_outputs), jnp.float32)
+    for i, (y, x) in enumerate(grid):
+        canvas = jax.lax.dynamic_update_slice(
+            canvas,
+            jax.lax.dynamic_slice(
+                canvas, (0, y, x, 0), (b, ch, cw, num_outputs)
+            )
+            + logits[:, i],
+            (0, y, x, 0),
+        )
+    inv_cnt = jnp.asarray(1.0 / count_map((h, w), crop, stride))[None, :, :, None]
+    return canvas * inv_cnt

@@ -210,7 +210,8 @@ def drop_path(
     keep = 1.0 - rate
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)
     mask = jax.random.bernoulli(rng, keep, shape=shape)
-    return jnp.where(mask, x / jnp.maximum(keep, 1e-8), jnp.zeros_like(x))
+    inv_keep = (1.0 / jnp.maximum(keep, 1e-8)).astype(x.dtype)
+    return jnp.where(mask, x * inv_keep, jnp.zeros_like(x))
 
 
 class ResidualAttentionBlock(nn.Module):

@@ -1,0 +1,132 @@
+"""Device mesh + sharding setup (the TPU-native replacement for DDP/NCCL).
+
+The reference's only parallelism is single-node data-parallel DDP over NCCL
+(reference: segmentation/denseclip/utils.py:102-107 hardcodes
+localhost:12355; train_denseclip.py:1050-1054 wraps in DDP).  Here the same
+capability is expressed the JAX way (SURVEY.md §2.8):
+
+  * one `jax.sharding.Mesh` over all addressable devices, axes driven by the
+    `tpu.mesh` config entry (e.g. ``{data: -1}`` or ``{data: 4, model: 2}``);
+  * batches sharded over the ``data`` axis with `NamedSharding`;
+  * parameters replicated (data parallel) — gradient averaging is inserted
+    by XLA as `psum` over ICI when the loss is computed under these
+    shardings, no explicit collectives needed;
+  * multi-host: `jax.distributed.initialize()` + `make_global_batch` using
+    `jax.make_array_from_process_local_data` replaces `DistributedSampler`.
+
+All helpers work identically on a virtual CPU mesh
+(``XLA_FLAGS=--xla_force_host_platform_device_count=N``), which is how the
+multi-chip path is tested without hardware.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Mapping, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def maybe_initialize_distributed() -> None:
+    """Initialize multi-host JAX if launched under a multi-process runtime.
+
+    Mirrors the intent of the reference's `init_distributed` (utils.py:102-107)
+    but without the hardcoded localhost rendezvous: `jax.distributed` reads
+    its coordinator from the environment (TPU pods set this up natively).
+    Safe to call when single-process.
+    """
+    import os
+
+    if jax.process_count() > 1:
+        return  # already initialized
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coord:
+        jax.distributed.initialize()
+
+
+def make_mesh(
+    spec: Optional[Mapping[str, int]] = None,
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> Mesh:
+    """Build a mesh from an axis spec like ``{"data": -1}`` or
+    ``{"data": 4, "model": 2}``.  A single ``-1`` axis absorbs all remaining
+    devices (np.reshape semantics)."""
+    devices = list(devices if devices is not None else jax.devices())
+    spec = dict(spec or {DATA_AXIS: -1})
+    if not spec:
+        spec = {DATA_AXIS: -1}
+    axis_names = tuple(spec.keys())
+    sizes = list(spec.values())
+    n = len(devices)
+    n_free = sizes.count(-1)
+    if n_free > 1:
+        raise ValueError(f"at most one mesh axis may be -1, got {spec}")
+    fixed = math.prod(s for s in sizes if s != -1)
+    if n_free:
+        if n % fixed != 0:
+            raise ValueError(f"{n} devices not divisible by fixed axes {spec}")
+        sizes = [n // fixed if s == -1 else s for s in sizes]
+    elif fixed != n:
+        raise ValueError(f"mesh {spec} needs {fixed} devices, have {n}")
+    grid = np.asarray(devices).reshape(sizes)
+    return Mesh(grid, axis_names)
+
+
+def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
+    """Sharding for a [B, ...] batch: leading dim split over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
+    """Put a host-local pytree of [B, ...] arrays onto the mesh, batch-sharded.
+
+    Single-process: a plain sharded device_put.  Multi-process: each process
+    contributes its local shard of the global batch
+    (`make_array_from_process_local_data`), the JAX-native replacement for
+    the reference's `DistributedSampler` (train_denseclip.py:242-243).
+    """
+    sharding = batch_sharding(mesh, axis)
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+
+    def put(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x, global_shape)
+
+    return jax.tree.map(put, batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Replicate a pytree (params/state) across the mesh."""
+    return jax.device_put(tree, replicated_sharding(mesh))
+
+
+def local_batch_size(global_batch: int, mesh: Mesh, axis: str = DATA_AXIS) -> int:
+    """Per-process batch size for a global batch sharded over `axis`."""
+    per_process = global_batch // jax.process_count()
+    if global_batch % jax.process_count():
+        raise ValueError(
+            f"global batch {global_batch} not divisible by "
+            f"{jax.process_count()} processes"
+        )
+    return per_process
+
+
+def mesh_from_config(tpu_cfg: Optional[Mapping[str, Any]]) -> Mesh:
+    """Mesh from the `tpu:` config section (``mesh: {data: -1}``)."""
+    spec = None
+    if tpu_cfg:
+        spec = tpu_cfg.get("mesh")
+        if spec is not None:
+            spec = dict(spec)
+    return make_mesh(spec)

@@ -1,0 +1,127 @@
+"""Orbax checkpointing: epoch_N + latest + best, with full resume.
+
+TPU-native equivalent of the reference's torch checkpointing
+(reference: segmentation/train_denseclip.py:892-908, 1491-1518 — periodic
+`epoch_{N}.pth` + rolling `latest.pth`; utils.py:61-100 adds `model_best`).
+The saved tree carries params / batch_stats / opt_state / step plus the
+epoch and best metric, so `--resume` restores the optimizer and scheduler
+position exactly (train_denseclip.py:1106-1133).
+
+The separate init-time load — OpenAI CLIP weights into a fresh model — is
+train/clip_import.py, mirroring the reference's split
+(denseclip.py:156-191 vs trainer resume).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from denseclip_vit_multimodal_tpu.train.state import TrainState
+
+
+def _ckpt_dir(work_dir: str) -> str:
+    return os.path.join(os.path.abspath(work_dir), "checkpoints")
+
+
+def _state_payload(state: TrainState) -> Dict[str, Any]:
+    return {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+
+
+def save_checkpoint(
+    work_dir: str,
+    state: TrainState,
+    epoch: int,
+    best_metric: Optional[float] = None,
+    is_best: bool = False,
+    keep: int = 5,
+) -> str:
+    """Save `epoch_{N}` and update `latest` (+ `best` when is_best)."""
+    base = _ckpt_dir(work_dir)
+    os.makedirs(base, exist_ok=True)
+    payload = {
+        "state": _state_payload(state),
+        "meta": {
+            "epoch": np.asarray(epoch, np.int32),
+            "best_metric": np.asarray(
+                -1.0 if best_metric is None else float(best_metric), np.float32
+            ),
+        },
+    }
+    with ocp.StandardCheckpointer() as saver:
+        path = os.path.join(base, f"epoch_{epoch}")
+        saver.save(path, payload, force=True)
+        saver.save(os.path.join(base, "latest"), payload, force=True)
+        if is_best:
+            saver.save(os.path.join(base, "best"), payload, force=True)
+    # Rolling window of epoch_N dirs (latest/best never pruned).
+    epochs = sorted(
+        (
+            int(d.split("_", 1)[1])
+            for d in os.listdir(base)
+            if d.startswith("epoch_") and d.split("_", 1)[1].isdigit()
+        ),
+    )
+    for old in epochs[:-keep] if keep else []:
+        old_path = os.path.join(base, f"epoch_{old}")
+        try:
+            import shutil
+
+            shutil.rmtree(old_path)
+        except OSError:
+            pass
+    return path
+
+
+def restore_checkpoint(
+    path_or_work_dir: str,
+    state: TrainState,
+    which: str = "latest",
+) -> Tuple[TrainState, int, float]:
+    """Restore into the given (abstract or concrete) state.
+
+    Accepts either a checkpoint directory itself or a work dir (then picks
+    `checkpoints/{which}`).  Returns (state, epoch, best_metric).
+    """
+    path = os.path.abspath(path_or_work_dir)
+    candidate = os.path.join(_ckpt_dir(path), which)
+    if os.path.isdir(candidate):
+        path = candidate
+    template = {
+        "state": _state_payload(state),
+        "meta": {
+            "epoch": np.asarray(0, np.int32),
+            "best_metric": np.asarray(-1.0, np.float32),
+        },
+    }
+    with ocp.StandardCheckpointer() as restorer:
+        payload = restorer.restore(path, template)
+    restored = state.replace(
+        step=payload["state"]["step"],
+        params=payload["state"]["params"],
+        batch_stats=payload["state"]["batch_stats"],
+        opt_state=payload["state"]["opt_state"],
+    )
+    return (
+        restored,
+        int(payload["meta"]["epoch"]),
+        float(payload["meta"]["best_metric"]),
+    )
+
+
+def load_params_only(path_or_work_dir: str, state: TrainState) -> TrainState:
+    """Warm-start weights without optimizer/scheduler (reference `--load`,
+    train_denseclip.py:1012-1034)."""
+    restored, _, _ = restore_checkpoint(path_or_work_dir, state)
+    return state.replace(
+        params=restored.params, batch_stats=restored.batch_stats
+    )

@@ -1,0 +1,125 @@
+"""Inference engine tests: slide grid math, scatter-add equivalence,
+whole-vs-slide consistency, aug_test, and the driver entry points.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from denseclip_vit_multimodal_tpu.infer.slide import (
+    count_map,
+    slide_grid,
+    slide_inference,
+    window_origins,
+)
+
+
+def test_window_origins_spec():
+    # Reference spec: 1024x2048, crop 640, stride 426
+    # (configs/denseclip_fpn_vit-b_640x640_80k.py:50).
+    assert window_origins(1024, 640, 426) == [0, 384]
+    assert window_origins(2048, 640, 426) == [0, 426, 852, 1278, 1408]
+    assert window_origins(512, 640, 426) == [0]
+
+
+def test_count_map_covers_everything():
+    cnt = count_map((1024, 2048), (640, 640), (426, 426))
+    assert cnt.min() >= 1.0
+    # 2 y-rows x up to 3 overlapping x-windows near the clamped right edge.
+    assert cnt.max() <= 6.0
+    assert cnt[0, 0] == 1.0  # corners seen once
+
+
+def test_slide_identity_forward_averages_to_input():
+    """With forward = identity, slide averaging must reproduce the input."""
+    h, w, c = 96, 160, 5
+    x = jnp.asarray(np.random.RandomState(0).rand(2, h, w, c).astype(np.float32))
+
+    out = slide_inference(lambda win: win, x, num_outputs=c,
+                          crop=(64, 64), stride=(48, 48))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), rtol=1e-5)
+
+
+def test_slide_window_batch_chunking_equivalent():
+    h, w, c = 96, 160, 4
+    x = jnp.asarray(np.random.RandomState(1).rand(1, h, w, c).astype(np.float32))
+
+    def fwd(win):
+        return win * 2.0 + 1.0
+
+    full = slide_inference(fwd, x, c, crop=(64, 64), stride=(48, 48))
+    chunked = slide_inference(fwd, x, c, crop=(64, 64), stride=(48, 48),
+                              window_batch=2)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked), rtol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def tiny_inferencer(tiny_model_cfg):
+    from denseclip_vit_multimodal_tpu.data.augment import AugmentConfig
+    from denseclip_vit_multimodal_tpu.infer.engine import Inferencer
+    from denseclip_vit_multimodal_tpu.models.denseclip import (
+        CITYSCAPES_CLASSES,
+        build_denseclip,
+    )
+
+    model, texts = build_denseclip(tiny_model_cfg, CITYSCAPES_CLASSES)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 32, 64, 3), jnp.float32),
+        jnp.asarray(texts),
+    )
+    return Inferencer(
+        model, variables, texts,
+        AugmentConfig(crop_size=(32, 64)), num_classes=19, with_depth=True,
+    )
+
+
+def test_whole_image_predict(tiny_inferencer):
+    imgs = np.random.RandomState(0).randint(0, 255, (1, 64, 128, 3), dtype=np.uint8)
+    out = tiny_inferencer.predict(imgs, mode="whole")
+    assert out["seg_logits"].shape == (1, 64, 128, 19)
+    assert out["seg"].shape == (1, 64, 128)
+    assert out["depth"].shape == (1, 64, 128)
+    assert out["seg"].min() >= 0 and out["seg"].max() < 19
+
+
+def test_slide_predict_shapes(tiny_inferencer):
+    imgs = np.random.RandomState(0).randint(0, 255, (1, 64, 128, 3), dtype=np.uint8)
+    out = tiny_inferencer.predict(imgs, mode="slide", crop=(32, 64),
+                                  stride=(16, 48))
+    assert out["seg_logits"].shape == (1, 64, 128, 19)
+    assert out["depth"].shape == (1, 64, 128)
+    assert np.isfinite(out["seg_logits"]).all()
+
+
+def test_slide_equals_whole_when_single_window(tiny_inferencer):
+    """crop == image size -> slide is exactly one whole forward."""
+    imgs = np.random.RandomState(2).randint(0, 255, (1, 32, 64, 3), dtype=np.uint8)
+    whole = tiny_inferencer.predict(imgs, mode="whole")
+    slide = tiny_inferencer.predict(imgs, mode="slide", crop=(32, 64),
+                                    stride=(32, 64))
+    np.testing.assert_allclose(
+        whole["seg_logits"], slide["seg_logits"], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_aug_test_averages(tiny_inferencer):
+    imgs = np.random.RandomState(3).randint(0, 255, (1, 32, 64, 3), dtype=np.uint8)
+    out = tiny_inferencer.aug_test(imgs, scales=(1.0, 1.5), flip=True)
+    assert out["seg_logits"].shape == (1, 32, 64, 19)
+    assert out["depth"].shape == (1, 32, 64)
+    assert np.isfinite(out["seg_logits"]).all()
+
+
+def test_graft_entry_dryrun_multichip():
+    import importlib.util, os
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)

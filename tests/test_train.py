@@ -1,0 +1,242 @@
+"""Training stack tests: schedules, frozen partitioning, train/eval steps,
+checkpoint roundtrip, 8-device mesh execution.
+
+The multi-device tests are the TPU-native analog of "test multi-node without
+a cluster" (SURVEY.md §4): the same pjit programs that run on a pod run here
+on the virtual CPU mesh.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from denseclip_vit_multimodal_tpu.data.augment import AugmentConfig
+from denseclip_vit_multimodal_tpu.models.denseclip import (
+    CITYSCAPES_CLASSES,
+    build_denseclip,
+)
+from denseclip_vit_multimodal_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+from denseclip_vit_multimodal_tpu.train.schedules import (
+    build_schedule,
+    cosine_per_epoch,
+    poly_with_warmup,
+)
+from denseclip_vit_multimodal_tpu.train.state import (
+    count_params,
+    create_train_state,
+    label_params,
+    trainable_mask,
+)
+from denseclip_vit_multimodal_tpu.train.step import make_eval_step, make_train_step
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(tiny_model_cfg):
+    model, texts = build_denseclip(tiny_model_cfg, CITYSCAPES_CLASSES)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 32, 64, 3), jnp.float32),
+        jnp.asarray(texts),
+    )
+    training_cfg = {
+        "epochs": 4,
+        "batch_size": 4,
+        "optimizer": {"lr": 1e-3, "weight_decay": 0.01},
+        "scheduler": {"type": "CosineAnnealingLR", "T_max": 4, "eta_min": 1e-6},
+    }
+    state = create_train_state(model, variables, training_cfg, steps_per_epoch=2)
+    return model, texts, state
+
+
+def _clone(state):
+    """Fresh buffers: train steps donate their input state (donate_argnums)."""
+    return jax.tree.map(lambda x: jnp.array(x), state)
+
+
+def _raw_batch(b=4, h=64, w=128, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "image": rng.randint(0, 255, (b, h, w, 3), dtype=np.uint8),
+        "seg": rng.randint(0, 19, (b, h, w)).astype(np.uint8),
+        "depth": rng.uniform(0.1, 80, (b, h, w)).astype(np.float32),
+    }
+
+
+AUG = AugmentConfig(crop_size=(32, 64), scale_range=(0.75, 1.25))
+
+
+def test_cosine_per_epoch_steps_on_epoch_boundaries():
+    sched = cosine_per_epoch(1.0, steps_per_epoch=10, t_max_epochs=4, eta_min=0.0)
+    # Constant within an epoch (torch steps the scheduler per epoch,
+    # train_denseclip.py:1455).
+    assert float(sched(jnp.asarray(0))) == float(sched(jnp.asarray(9))) == 1.0
+    assert float(sched(jnp.asarray(10))) < 1.0
+    np.testing.assert_allclose(float(sched(jnp.asarray(40))), 0.0, atol=1e-7)
+
+
+def test_poly_warmup_shape():
+    sched = poly_with_warmup(1.0, total_steps=1000, warmup_steps=100)
+    assert float(sched(jnp.asarray(0))) < 0.02
+    np.testing.assert_allclose(float(sched(jnp.asarray(100))), 0.91, atol=0.02)
+    assert float(sched(jnp.asarray(999))) < 0.01
+
+
+def test_build_schedule_dispatch():
+    s = build_schedule(
+        {"optimizer": {"lr": 2e-5},
+         "scheduler": {"type": "CosineAnnealingLR", "T_max": 10}}, 5)
+    assert float(s(jnp.asarray(0))) == pytest.approx(2e-5)
+    with pytest.raises(ValueError):
+        build_schedule({"scheduler": {"type": "Cyclic"}}, 5)
+
+
+def test_frozen_labels(tiny_setup):
+    _, _, state = tiny_setup
+    labels = label_params(state.params)
+    flat = jax.tree_util.tree_leaves_with_path(labels)
+    frozen = {
+        jax.tree_util.keystr(p) for p, l in flat if l == "frozen"
+    }
+    assert any("backbone" in k for k in frozen)
+    assert any("text_encoder" in k for k in frozen)
+    mask = trainable_mask(state.params)
+    # The learnable prompt must be trainable ('gamma' only exists when a
+    # context decoder is configured; the tiny config has none).
+    assert mask["contexts"] is True
+    assert not any(jax.tree.leaves(mask["backbone"]))
+    assert not any(jax.tree.leaves(mask["text_encoder"]))
+    assert all(jax.tree.leaves(mask["decode_head"]))
+
+
+def test_train_step_updates_only_trainable(tiny_setup):
+    _, texts, state = tiny_setup
+    state = _clone(state)
+    step = make_train_step(texts, AUG)
+    batch = jax.tree.map(jnp.asarray, _raw_batch())
+    # Copy initial params before the donated buffer is consumed.
+    before = jax.tree.map(np.asarray, state.params)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss_total"]))
+    assert float(metrics["skipped"]) == 0.0
+    assert int(new_state.step) == 1
+    after = jax.tree.map(np.asarray, new_state.params)
+    # Frozen towers unchanged.
+    for tower in ("backbone", "text_encoder"):
+        same = jax.tree.map(np.array_equal, before[tower], after[tower])
+        assert all(jax.tree.leaves(same)), f"{tower} changed"
+    # Prompt contexts and heads moved.
+    assert not np.array_equal(before["contexts"], after["contexts"])
+    changed = jax.tree.map(
+        lambda a, b: not np.array_equal(a, b),
+        before["decode_head"], after["decode_head"],
+    )
+    assert any(jax.tree.leaves(changed))
+
+
+def test_train_step_loss_decreases(tiny_setup):
+    _, texts, state = tiny_setup
+    state = _clone(state)
+    step = make_train_step(texts, AUG)
+    batch = jax.tree.map(jnp.asarray, _raw_batch())
+    losses = []
+    for i in range(5):
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        losses.append(float(metrics["loss_total"]))
+    assert losses[-1] < losses[0], losses
+
+
+def test_grad_accum_matches_full_batch(tiny_setup):
+    """Microbatched gradients track the full-batch gradient.
+
+    Not bit-equal: BN statistics, dropout draws, and CE valid-pixel
+    weighting are per-microbatch (as in the reference's accumulation,
+    train_denseclip.py:1154); tolerances bound the scale instead.
+    """
+    _, texts, state = tiny_setup
+    aug = AugmentConfig(crop_size=(32, 64), scale_range=(1.0, 1.0), hflip_prob=0.0)
+    batch = jax.tree.map(jnp.asarray, _raw_batch(b=4))
+    s1, m1 = make_train_step(texts, aug)(_clone(state), batch, jax.random.PRNGKey(0))
+    s2, m2 = make_train_step(texts, aug, grad_accum_steps=2)(
+        _clone(state), batch, jax.random.PRNGKey(0)
+    )
+    np.testing.assert_allclose(
+        float(m1["loss_total"]), float(m2["loss_total"]), rtol=5e-2
+    )
+    # Adam updates are bounded by lr=1e-3; similar grads -> similar params.
+    np.testing.assert_allclose(
+        np.asarray(s1.params["contexts"]),
+        np.asarray(s2.params["contexts"]),
+        atol=2.1e-3,
+    )
+
+
+def test_eval_step_metrics(tiny_setup):
+    _, texts, state = tiny_setup
+    eval_step = make_eval_step(texts, AUG, num_classes=19)
+    batch = jax.tree.map(jnp.asarray, _raw_batch(b=2))
+    res = eval_step(state, batch)
+    cm = np.asarray(res["confusion"])
+    assert cm.shape == (19, 19)
+    valid_px = (np.asarray(batch["seg"]) != 255).sum()
+    np.testing.assert_allclose(cm.sum(), valid_px, rtol=1e-6)
+    assert float(res["depth_count"]) > 0
+    assert np.isfinite(float(res["loss_seg"]))
+
+
+def test_train_step_on_8device_mesh(tiny_setup):
+    _, texts, state = tiny_setup
+    mesh = make_mesh({"data": 8})
+    state = replicate(_clone(state), mesh)
+    step = make_train_step(texts, AUG)
+    batch = shard_batch(_raw_batch(b=8), mesh)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss_total"]))
+    # Params remain replicated and identical across devices.
+    ctx = new_state.params["contexts"]
+    assert ctx.sharding.is_fully_replicated
+
+
+def test_checkpoint_roundtrip(tiny_setup, tmp_path):
+    _, texts, state = tiny_setup
+    from denseclip_vit_multimodal_tpu.train.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    step = make_train_step(texts, AUG)
+    batch = jax.tree.map(jnp.asarray, _raw_batch())
+    trained, _ = step(_clone(state), batch, jax.random.PRNGKey(0))
+    save_checkpoint(str(tmp_path), trained, epoch=3, best_metric=0.5, is_best=True)
+    restored, epoch, best = restore_checkpoint(str(tmp_path), state)
+    assert epoch == 3 and best == pytest.approx(0.5)
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["contexts"]),
+        np.asarray(trained.params["contexts"]),
+    )
+    assert int(restored.step) == int(trained.step)
+    import os
+    base = os.path.join(str(tmp_path), "checkpoints")
+    assert set(os.listdir(base)) >= {"epoch_3", "latest", "best"}
+
+
+def test_nan_batch_skips_update(tiny_setup):
+    _, texts, state = tiny_setup
+    step = make_train_step(texts, AUG)
+    batch = _raw_batch()
+    bad = dict(batch)
+    bad["depth"] = np.full_like(batch["depth"], np.inf)
+    before = np.asarray(state.params["contexts"])
+    new_state, metrics = step(_clone(state), jax.tree.map(jnp.asarray, bad),
+                              jax.random.PRNGKey(0))
+    if not np.isfinite(float(metrics["loss_total"])):
+        assert float(metrics["skipped"]) == 1.0
+        np.testing.assert_array_equal(
+            np.asarray(new_state.params["contexts"]), before
+        )
+        assert int(new_state.step) == 1  # counter still advances
