@@ -10,6 +10,13 @@ against REFERENCE_GPU_IPS, a PyTorch-reference estimate of the same workload
 recorded here so rounds are comparable; update if the driver supplies a
 measured figure).
 
+Timing methodology: the execution environment may reach the TPU through a
+remote-dispatch tunnel with ~30 ms RPC latency per call and an unreliable
+`block_until_ready`, so the benchmark loop runs ON DEVICE — `lax.fori_loop`
+over ITERS slide-inferences with a carry-dependent input perturbation (which
+serializes iterations and defeats loop-invariant hoisting) — and fetches one
+scalar.  Wall time divided by ITERS is then pure device throughput.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -25,8 +32,7 @@ IMAGE_HW = (1024, 2048)
 CROP = (640, 640)
 STRIDE = (426, 426)
 BATCH = 1
-WARMUP = 2
-ITERS = 8
+ITERS = 16
 
 
 def main():
@@ -36,8 +42,9 @@ def main():
     from denseclip_vit_multimodal_tpu.core.config import load_config
     from denseclip_vit_multimodal_tpu.data.augment import (
         augment_config_from_data_cfg,
+        normalize_image,
     )
-    from denseclip_vit_multimodal_tpu.infer.engine import Inferencer
+    from denseclip_vit_multimodal_tpu.infer.slide import slide_inference
     from denseclip_vit_multimodal_tpu.models.denseclip import (
         CITYSCAPES_CLASSES,
         build_denseclip,
@@ -48,33 +55,49 @@ def main():
         cfg.model, CITYSCAPES_CLASSES, dtype=jnp.bfloat16
     )
     h, w = IMAGE_HW
-    rng = jax.random.PRNGKey(0)
+    texts_j = jnp.asarray(texts)
     variables = jax.jit(model.init)(
-        rng,
+        jax.random.PRNGKey(0),
         jnp.zeros((1,) + CROP + (3,), jnp.float32),
-        jnp.asarray(texts),
+        texts_j,
     )
     aug_cfg = augment_config_from_data_cfg(cfg.get("data", {}), train=False)
-    infer = Inferencer(
-        model, variables, texts, aug_cfg,
-        num_classes=len(CITYSCAPES_CLASSES), with_depth=True,
-    )
+    num_out = len(CITYSCAPES_CLASSES) + 1  # seg logits + depth
+
+    def window_forward(vars_, windows):
+        out = model.apply(vars_, windows, texts_j, train=False)
+        return jnp.concatenate(
+            [out["seg"].astype(jnp.float32), out["depth"].astype(jnp.float32)],
+            axis=-1,
+        )
+
+    def one_frame(vars_, image):
+        return slide_inference(
+            lambda win: window_forward(vars_, win),
+            image, num_out, crop=CROP, stride=STRIDE,
+        )
+
+    @jax.jit
+    def bench_loop(vars_, image, iters):
+        def body(i, acc):
+            # acc-dependent perturbation serializes iterations.
+            out = one_frame(vars_, image + acc * 1e-20)
+            return acc + out[0, 0, 0, 0]
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
     images = np.random.RandomState(0).randint(
         0, 255, (BATCH, h, w, 3), dtype=np.uint8
     )
-    pre = infer.preprocess(images)
-    run = infer._slide_fn(CROP, STRIDE, 0)
+    pre = normalize_image(
+        jnp.asarray(images), aug_cfg.norm_mean, aug_cfg.norm_std
+    )
 
-    # Warmup / compile
-    for _ in range(WARMUP):
-        out = run(infer.variables, pre, infer.texts)
-    jax.block_until_ready(out)
+    # Warmup (compile + one full execution), forced by scalar fetch.
+    float(bench_loop(variables, pre, 1))
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = run(infer.variables, pre, infer.texts)
-    jax.block_until_ready(out)
+    float(bench_loop(variables, pre, ITERS))
     dt = time.perf_counter() - t0
 
     ips = BATCH * ITERS / dt

@@ -1,0 +1,15 @@
+"""Utilities: visualization, environment/determinism, profiling hooks."""
+
+from denseclip_vit_multimodal_tpu.utils.env import (
+    StepTimer,
+    collect_env_info,
+    profiler_trace,
+    set_determinism,
+)
+from denseclip_vit_multimodal_tpu.utils.visualize import (
+    CITYSCAPES_PALETTE,
+    colorize_depth,
+    colorize_seg,
+    denormalize_image,
+    save_multi_task_panel,
+)

@@ -1,0 +1,92 @@
+"""Environment reporting, determinism knobs, and profiling hooks.
+
+Covers the reference's `collect_env_info` (reference:
+segmentation/denseclip/utils.py:142-184), `set_random_seed` +
+`--deterministic` (utils.py:51-59), and — going beyond the reference, which
+has no profiling at all (SURVEY.md §5.1) — first-class `jax.profiler` trace
+capture and per-step timing.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import platform
+import sys
+import time
+from typing import Dict, Iterator, Optional
+
+
+def collect_env_info() -> str:
+    """Human-readable environment report."""
+    import jax
+
+    lines = [
+        f"python              : {sys.version.split()[0]} ({platform.platform()})",
+        f"jax                 : {jax.__version__}",
+        f"backend             : {jax.default_backend()}",
+        f"devices             : {[str(d) for d in jax.devices()]}",
+        f"process             : {jax.process_index()}/{jax.process_count()}",
+    ]
+    for mod in ("flax", "optax", "orbax.checkpoint", "numpy"):
+        try:
+            import importlib
+
+            m = importlib.import_module(mod)
+            lines.append(f"{mod:<20}: {getattr(m, '__version__', '?')}")
+        except ImportError:
+            lines.append(f"{mod:<20}: not installed")
+    return "\n".join(lines)
+
+
+def set_determinism(matmul_precision: str = "highest") -> None:
+    """XLA is deterministic by default; this pins matmul precision so runs
+    are bit-reproducible across restarts (the TPU analog of the reference's
+    cudnn.deterministic flag, utils.py:51-59)."""
+    import jax
+
+    jax.config.update("jax_default_matmul_precision", matmul_precision)
+
+
+@contextlib.contextmanager
+def profiler_trace(log_dir: Optional[str]) -> Iterator[None]:
+    """Capture a jax.profiler trace (viewable in TensorBoard / Perfetto).
+
+    No-op when log_dir is falsy, so call sites can be left in place.
+    """
+    if not log_dir:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class StepTimer:
+    """Rolling per-step wall-time stats for throughput logging."""
+
+    def __init__(self, window: int = 50):
+        self.window = window
+        self._times: list = []
+        self._last: Optional[float] = None
+
+    def tick(self) -> Optional[float]:
+        now = time.perf_counter()
+        dt = None
+        if self._last is not None:
+            dt = now - self._last
+            self._times.append(dt)
+            if len(self._times) > self.window:
+                self._times.pop(0)
+        self._last = now
+        return dt
+
+    @property
+    def mean(self) -> float:
+        return sum(self._times) / len(self._times) if self._times else 0.0
+
+    def steps_per_sec(self) -> float:
+        return 1.0 / self.mean if self.mean else 0.0
