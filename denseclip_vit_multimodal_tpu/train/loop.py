@@ -125,9 +125,15 @@ def validate(
     num_classes: int,
     logger: logging.Logger,
     max_batches: Optional[int] = None,
+    visualize_to: Optional[str] = None,
+    norm_mean=None,
+    norm_std=None,
 ) -> Dict[str, float]:
     """Run the eval epoch; returns scalar metrics (reference validate,
-    train_denseclip.py:293-686, but device-reduced instead of rank-0)."""
+    train_denseclip.py:293-686, but device-reduced instead of rank-0).
+
+    `visualize_to` saves a prediction panel PNG for the first sample
+    (reference visualize_multi_task, train_denseclip.py:658-681)."""
     cm_total = None
     depth_sums_total = None
     depth_count_total = None
@@ -135,6 +141,25 @@ def validate(
     n_batches = 0
     for batch in device_prefetch(val_loader.epoch(0), mesh=mesh):
         results = eval_step(state, batch)
+        if visualize_to and n_batches == 0 and jax.process_index() == 0:
+            try:
+                from denseclip_vit_multimodal_tpu.utils.visualize import (
+                    save_multi_task_panel,
+                )
+
+                save_multi_task_panel(
+                    visualize_to,
+                    np.asarray(batch["image"][0], np.uint8),
+                    np.asarray(results["seg_pred"][0]),
+                    seg_gt=np.asarray(batch["seg"][0])
+                    if "seg" in batch else None,
+                    depth_pred=np.asarray(results["depth_pred"][0])
+                    if "depth_pred" in results else None,
+                    depth_gt=np.asarray(batch["depth"][0])
+                    if "depth" in batch else None,
+                )
+            except Exception as e:  # visualization must never kill eval
+                logger.warning("visualization failed: %s", e)
         if "confusion" in results:
             cm = results["confusion"]
             cm_total = cm if cm_total is None else cm_total + cm
@@ -249,6 +274,10 @@ def train(cfg, work_dir: str, resume: Optional[str] = None,
 
     # --- CLIP pretrained weights ---
     clip_path = cfg.model.get("clip_pretrained")
+    if clip_path and not os.path.exists(str(clip_path)):
+        from denseclip_vit_multimodal_tpu.train.weights import ensure_weights
+
+        clip_path = ensure_weights(str(clip_path), logger) or clip_path
     if clip_path and os.path.exists(str(clip_path)):
         bb = cfg.model["backbone"]
         te = cfg.model["text_encoder"]
@@ -347,8 +376,14 @@ def train(cfg, work_dir: str, resume: Optional[str] = None,
             writer.scalars("train_epoch", epoch_means, epoch)
 
         if val_loader is not None and (epoch + 1) % eval_interval == 0:
+            vis_path = None
+            if is_main and bool(training_cfg.get("save_visualizations", True)):
+                vis_path = os.path.join(
+                    work_dir, "visualizations", f"epoch_{epoch}.png"
+                )
             last_val = validate(
-                state, eval_step, val_loader, mesh, len(class_names), logger
+                state, eval_step, val_loader, mesh, len(class_names), logger,
+                visualize_to=vis_path,
             )
             if is_main:
                 writer.scalars("val", last_val, epoch)

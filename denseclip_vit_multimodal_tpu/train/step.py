@@ -215,6 +215,7 @@ def make_eval_step(
                     method="bilinear",
                 )
             preds = jnp.argmax(logits, axis=-1)
+            results["seg_pred"] = preds.astype(jnp.int32)
             results["confusion"] = confusion_matrix(
                 preds, batch["seg"], num_classes, aug_cfg.ignore_index
             )
@@ -229,6 +230,7 @@ def make_eval_step(
                     (depth_pred.shape[0],) + tuple(gt_hw),
                     method="bilinear",
                 )
+            results["depth_pred"] = depth_pred
             mask = batch["depth"] > 0.0
             sums, count = depth_errors(
                 depth_pred, batch["depth"], mask, max_depth=depth_max
