@@ -55,8 +55,15 @@ MIN_DISPARITY_SCALED = 1e-3
 def remap_labels(label_ids: np.ndarray) -> np.ndarray:
     """Vectorized labelId -> trainId; ids beyond the table -> ignore.
 
-    Reference `map_labels_fast` (cityscapes.py:79-85).
+    Reference `map_labels_fast` (cityscapes.py:79-85).  Uses the native
+    single-pass C++ kernel when available (data/_native.py), numpy otherwise.
     """
+    if label_ids.dtype == np.uint8:
+        from denseclip_vit_multimodal_tpu.data import _native
+
+        native = _native.remap_labels(label_ids, ID_TO_TRAIN_ID, IGNORE_INDEX)
+        if native is not None:
+            return native
     out = np.full(label_ids.shape, IGNORE_INDEX, dtype=np.uint8)
     in_range = label_ids < len(ID_TO_TRAIN_ID)
     out[in_range] = ID_TO_TRAIN_ID[label_ids[in_range]]
@@ -68,8 +75,20 @@ def disparity_to_depth(
 ) -> Tuple[np.ndarray, np.ndarray]:
     """uint16 disparity map -> (float32 depth, uint8 validity mask).
 
-    Reference `disparity_to_depth` (cityscapes_depth_seg.py:137-170).
+    Reference `disparity_to_depth` (cityscapes_depth_seg.py:137-170).  Uses
+    the fused native kernel when available.
     """
+    if disparity.dtype == np.uint16:
+        from denseclip_vit_multimodal_tpu.data import _native
+
+        native = _native.disparity_to_depth(
+            disparity, depth_max, bf,
+            scale=DISPARITY_SCALE, offset=DISPARITY_OFFSET,
+            min_scaled=MIN_DISPARITY_SCALED, ignore_value=DEPTH_IGNORE_VALUE,
+        )
+        if native is not None:
+            depth, _ = native
+            return depth, (depth > 0).astype(np.uint8)
     disp = disparity.astype(np.float32)
     raw_valid = disp > 0
     scaled = np.where(raw_valid, (disp - DISPARITY_OFFSET) / DISPARITY_SCALE, 0.0)
@@ -77,8 +96,13 @@ def disparity_to_depth(
     depth = np.where(usable, bf / (scaled + 1e-6), DEPTH_IGNORE_VALUE).astype(
         np.float32
     )
-    valid = raw_valid & (depth <= depth_max)
-    depth = np.where(valid, depth, DEPTH_IGNORE_VALUE).astype(np.float32)
+    in_range = raw_valid & usable & (depth <= depth_max)
+    depth = np.where(in_range, depth, DEPTH_IGNORE_VALUE).astype(np.float32)
+    # Validity == positive depth.  (The reference's returned mask counts
+    # unusable near-zero disparities as "valid with depth 0", but immediately
+    # recomputes the effective mask as depth > 0 post-transform,
+    # cityscapes_depth_seg.py:218 — we normalize to the effective semantics.)
+    valid = depth > 0.0
     return depth, valid.astype(np.uint8)
 
 
