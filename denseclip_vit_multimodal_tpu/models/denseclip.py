@@ -185,6 +185,12 @@ class DenseCLIP(nn.Module):
             )
 
         if self.neck is not None:
+            n_in = getattr(self.neck, "num_inputs", len(neck_inputs))
+            if n_in < len(neck_inputs):
+                # ResNet-with-attention exposes c1..c4 + pooled map; a 4-level
+                # FPN consumes the stage pyramid (the pooled map only feeds
+                # the score/context path, reference denseclip.py:264-281).
+                neck_inputs = neck_inputs[:n_in]
             neck_out = self.neck(neck_inputs, train=train)
             head_input = neck_out[0] if isinstance(neck_out, (tuple, list)) else neck_out
         else:

@@ -67,6 +67,11 @@ def flash_supported(q: jnp.ndarray) -> bool:
     return n >= _FLASH_MIN_SEQ and head_dim in (64, 128, 256)
 
 
+# Above this sequence length the one-shot kernel's VMEM score tile no longer
+# fits comfortably; stream K/V with the bundled flash kernel instead.
+_ONESHOT_MAX_SEQ = 4096
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -75,10 +80,16 @@ def flash_attention(
     causal: bool = False,
     sm_scale: Optional[float] = None,
 ) -> jnp.ndarray:
-    """Blockwise flash attention. q/k/v: [B, N, H, Dh] -> [B, N, H, Dh].
+    """Pallas attention. q/k/v: [B, N, H, Dh] -> [B, N, H, Dh].  Exact, any N.
 
-    Exact (padding masked via segment ids), any N.
+    Dispatch: ViT-window sizes (N <= 4096) use the one-shot kernel
+    (ops/mha_kernel.py — measured 2.4 ms vs 3.2 ms bundled at N=1601 on
+    v5e); longer sequences stream through the bundled blockwise kernel.
     """
+    if not causal and q.shape[1] <= _ONESHOT_MAX_SEQ:
+        from denseclip_vit_multimodal_tpu.ops.mha_kernel import mha_attention
+
+        return mha_attention(q, k, v, sm_scale=sm_scale)
     fa = _flash_module()
     if fa is None:
         raise RuntimeError("Pallas flash attention unavailable on this backend")

@@ -1,0 +1,96 @@
+"""ResNet backbone path: attention pooling, FPN, score-map concat.
+
+Exercises the mmseg-heritage configuration shape
+(reference configs/denseclip_fpn_res50_512x512_80k.py: score map concatenated
+into the FPN input at index 3) on a tiny RN model.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from denseclip_vit_multimodal_tpu.core.config import load_config
+from denseclip_vit_multimodal_tpu.models.denseclip import (
+    CITYSCAPES_CLASSES,
+    build_denseclip,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_rn_cfg():
+    return {
+        "type": "DenseCLIP",
+        "text_dim": 32,
+        "context_length": 5,
+        "token_embed_dim": 64,
+        "context_feature": "attention",
+        "score_concat_index": 3,
+        "backbone": {
+            "type": "CLIPResNetWithAttention",
+            "layers": [1, 1, 1, 1],
+            "width": 8,
+            "output_dim": 32,
+            "input_resolution": 64,
+        },
+        "text_encoder": {
+            "type": "CLIPTextContextEncoder",
+            "context_length": 13,
+            "vocab_size": 49408,
+            "transformer_width": 64,
+            "transformer_heads": 2,
+            "transformer_layers": 2,
+            "embed_dim": 32,
+        },
+        "context_decoder": {
+            "type": "ContextDecoder",
+            "transformer_width": 32,
+            "transformer_heads": 2,
+            "transformer_layers": 1,
+            "dropout": 0.1,
+        },
+        "neck": {"type": "FPN", "in_channels": [32, 64, 128, 256], "out_channels": 32,
+                 "num_outs": 4},
+        "decode_head": {"type": "FPNHead", "in_channels": 32, "channels": 32,
+                        "num_classes": 19},
+    }
+
+
+def test_rn_attention_forward_with_score_concat(tiny_rn_cfg):
+    model, texts = build_denseclip(tiny_rn_cfg, CITYSCAPES_CLASSES)
+    img = np.random.RandomState(0).rand(2, 64, 64, 3).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(img), jnp.asarray(texts))
+    out = model.apply(variables, jnp.asarray(img), jnp.asarray(texts),
+                      return_features=True)
+    assert out["seg"].shape == (2, 64, 64, 19)
+    # score map computed over the attention-pooled map (stride 32)
+    assert out["score_map"].shape == (2, 2, 2, 19)
+    # gamma fusion parameter exists because a context decoder is configured
+    assert "gamma" in variables["params"]
+
+
+def test_rn_plain_backbone():
+    from denseclip_vit_multimodal_tpu.models.resnet import CLIPResNet
+
+    model = CLIPResNet(layers=(1, 1, 1, 1), width=8)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    outs = model.apply(variables, x)
+    assert [o.shape for o in outs] == [
+        (1, 16, 16, 32), (1, 8, 8, 64), (1, 4, 4, 128), (1, 2, 2, 256)
+    ]
+
+
+def test_all_preset_configs_load():
+    import glob
+    import os
+
+    presets = glob.glob(
+        os.path.join(os.path.dirname(__file__), "..", "configs", "*.yaml")
+    )
+    assert len(presets) >= 6
+    for path in presets:
+        cfg = load_config(path)
+        assert "model" in cfg and "backbone" in cfg["model"], path
+        assert "training" in cfg, path
