@@ -1,0 +1,125 @@
+"""Tensor-parallel sharding rules (Megatron-style) for DenseCLIP params.
+
+The reference scales only by data parallelism (DDP, SURVEY.md §2.8).  On a
+TPU mesh we additionally shard the transformer weights over a `model` axis —
+column-parallel into the heads/hidden dim, row-parallel out of it — and let
+XLA's SPMD partitioner insert the all-reduces on ICI.  No collective is
+written by hand; the rules only assign `PartitionSpec`s:
+
+  qkv / c_fc kernels  [.., D, 3D|4D]  -> shard LAST dim  (column parallel)
+  out / c_proj kernels [.., 3D|4D, D] -> shard FIRST weight dim (row parallel)
+  biases of column-parallel layers    -> shard over model
+  everything else (embeddings, norms, convs, heads, prompt) -> replicated
+
+Scan-stacked blocks carry a leading layer axis; the rules below index from
+the END of the shape so they work for both stacked [L, D, 3D] and unstacked
+[D, 3D] layouts.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from denseclip_vit_multimodal_tpu.parallel.mesh import MODEL_AXIS
+
+# (path-suffix match, which weight dim to shard counted from the end)
+_COLUMN_SUFFIXES = (("attn", "qkv", "kernel"), ("mlp", "c_fc", "kernel"))
+_ROW_SUFFIXES = (("attn", "out", "kernel"), ("mlp", "c_proj", "kernel"))
+_COLUMN_BIAS_SUFFIXES = (("attn", "qkv", "bias"), ("mlp", "c_fc", "bias"))
+
+
+def _path_names(path: Tuple) -> Tuple[str, ...]:
+    return tuple(
+        p.key if hasattr(p, "key") else str(p) for p in path
+    )
+
+
+def _ends_with(names: Tuple[str, ...], suffix: Tuple[str, ...]) -> bool:
+    return len(names) >= len(suffix) and names[-len(suffix):] == suffix
+
+
+def param_partition_spec(path: Tuple, leaf) -> P:
+    """PartitionSpec for one parameter leaf (replicated by default)."""
+    names = _path_names(path)
+    ndim = getattr(leaf, "ndim", len(getattr(leaf, "shape", ())))
+    if any(_ends_with(names, s) for s in _COLUMN_SUFFIXES):
+        spec = [None] * ndim
+        spec[-1] = MODEL_AXIS
+        return P(*spec)
+    if any(_ends_with(names, s) for s in _ROW_SUFFIXES):
+        spec = [None] * ndim
+        spec[-2] = MODEL_AXIS
+        return P(*spec)
+    if any(_ends_with(names, s) for s in _COLUMN_BIAS_SUFFIXES):
+        spec = [None] * ndim
+        spec[-1] = MODEL_AXIS
+        return P(*spec)
+    return P()
+
+
+def tree_partition_specs(params: Any) -> Any:
+    """PartitionSpec pytree for a DenseCLIP param tree."""
+    return jax.tree_util.tree_map_with_path(param_partition_spec, params)
+
+
+def _divisible(leaf, spec: P, mesh: Mesh) -> bool:
+    for dim, axis in enumerate(spec):
+        if axis is None:
+            continue
+        if leaf.shape[dim] % mesh.shape[axis] != 0:
+            return False
+    return True
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """Place a param tree on the mesh with TP rules (falls back to
+    replication for any leaf whose dims don't divide the model axis)."""
+    if MODEL_AXIS not in mesh.axis_names:
+        return jax.device_put(params, NamedSharding(mesh, P()))
+
+    def put(path, leaf):
+        spec = param_partition_spec(path, leaf)
+        if spec != P() and not _divisible(leaf, spec, mesh):
+            spec = P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(put, params)
+
+
+def shard_train_state(state, mesh: Mesh):
+    """Shard a TrainState: params/opt_state by TP rules, rest replicated.
+
+    Adam moments share the parameter layout, so the same specs apply; scalar
+    opt-state leaves (counts) replicate.
+    """
+    params = shard_params(state.params, mesh)
+
+    def resolved(path, leaf):
+        spec = param_partition_spec(path, leaf)
+        if spec != P() and not _divisible(leaf, spec, mesh):
+            spec = P()
+        return spec
+
+    param_specs = jax.tree_util.tree_map_with_path(resolved, state.params)
+    flat_specs = {  # match opt-state leaves to param leaves by shape+dtype
+        (tuple(l.shape), str(l.dtype)): s
+    for l, s in zip(jax.tree.leaves(state.params), jax.tree.leaves(param_specs))}
+
+    def put_opt(leaf):
+        key = (tuple(getattr(leaf, "shape", ())), str(getattr(leaf, "dtype", "")))
+        spec = flat_specs.get(key, P())
+        if hasattr(leaf, "ndim") and leaf.ndim == 0:
+            spec = P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    opt_state = jax.tree.map(put_opt, state.opt_state)
+    rep = NamedSharding(mesh, P())
+    return state.replace(
+        params=params,
+        opt_state=opt_state,
+        batch_stats=jax.device_put(state.batch_stats, rep),
+        step=jax.device_put(state.step, rep),
+    )

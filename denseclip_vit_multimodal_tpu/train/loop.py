@@ -298,7 +298,16 @@ def train(cfg, work_dir: str, resume: Optional[str] = None,
 
     # --- state / steps ---
     state = create_train_state(model, variables, training_cfg, steps_per_epoch)
-    state = mesh_lib.replicate(state, mesh)
+    if mesh_lib.MODEL_AXIS in mesh.axis_names:
+        from denseclip_vit_multimodal_tpu.parallel.sharding_rules import (
+            shard_train_state,
+        )
+
+        state = shard_train_state(state, mesh)
+        logger.info("tensor-parallel params over %d-way model axis",
+                    mesh.shape[mesh_lib.MODEL_AXIS])
+    else:
+        state = mesh_lib.replicate(state, mesh)
     schedule = build_schedule(training_cfg, steps_per_epoch)
     lw = training_cfg.get("loss_weights", {}) or {}
     silog_cfg = training_cfg.get("silog_loss", {}) or {}
