@@ -295,7 +295,16 @@ def build_denseclip(
         backbone_out_channels = int(bb.get("output_dim", 1024))
         num_levels = 5
     else:
-        raise ValueError(f"Unsupported backbone type: {bb_type}")
+        from denseclip_vit_multimodal_tpu.core.registry import BACKBONES
+
+        cls = BACKBONES.get(bb_type)
+        if cls is None:
+            raise ValueError(f"Unsupported backbone type: {bb_type}")
+        backbone = cls(**bb)
+        backbone_out_channels = int(
+            getattr(backbone, "out_channels", bb.get("out_channels", 256))
+        )
+        num_levels = int(getattr(backbone, "num_levels", bb.get("num_levels", 1)))
 
     # --- text encoder ---
     te = dict(cfg["text_encoder"])
@@ -323,7 +332,13 @@ def build_denseclip(
                 f"text encoder capacity {total_len} < fixed context {fixed_len}"
             )
     else:
-        raise ValueError(f"Unsupported text_encoder type: {te_type}")
+        from denseclip_vit_multimodal_tpu.core.registry import TEXT_ENCODERS
+
+        cls = TEXT_ENCODERS.get(te_type)
+        if cls is None:
+            raise ValueError(f"Unsupported text_encoder type: {te_type}")
+        text_encoder = cls(**te)
+        num_learnable = int(te.get("num_learnable_contexts", 0))
 
     # --- context decoder ---
     context_decoder = None
@@ -364,7 +379,15 @@ def build_denseclip(
             )
             head_in_channels = int(nk.get("out_channels", 256))
         else:
-            raise ValueError(f"Unsupported neck type: {nk_type}")
+            from denseclip_vit_multimodal_tpu.core.registry import NECKS
+
+            cls = NECKS.get(nk_type)
+            if cls is None:
+                raise ValueError(f"Unsupported neck type: {nk_type}")
+            neck = cls(**nk)
+            head_in_channels = int(
+                getattr(neck, "out_channels", nk.get("out_channels", 256))
+            )
 
     # --- heads ---
     decode_head = None
@@ -385,7 +408,12 @@ def build_denseclip(
         elif dh_type == "IdentityHead":
             decode_head = IdentityHead()
         else:
-            raise ValueError(f"Unsupported decode_head type: {dh_type}")
+            from denseclip_vit_multimodal_tpu.core.registry import HEADS
+
+            cls = HEADS.get(dh_type)
+            if cls is None:
+                raise ValueError(f"Unsupported decode_head type: {dh_type}")
+            decode_head = cls(**dh)
 
     depth_head = None
     if cfg.get("depth_head"):

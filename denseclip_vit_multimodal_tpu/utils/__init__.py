@@ -1,6 +1,7 @@
 """Utilities: visualization, environment/determinism, profiling hooks."""
 
 from denseclip_vit_multimodal_tpu.utils.env import (
+    seed_everything,
     StepTimer,
     collect_env_info,
     profiler_trace,

@@ -90,3 +90,21 @@ class StepTimer:
 
     def steps_per_sec(self) -> float:
         return 1.0 / self.mean if self.mean else 0.0
+
+
+def seed_everything(seed: int) -> "jax.Array":
+    """Seed python/numpy and return a root JAX PRNG key.
+
+    The reference seeds python/numpy/torch/cuda per rank
+    (utils.py:51-59, train_denseclip.py:941 adds the rank); JAX randomness is
+    carried explicitly by keys, so this returns the root key folded with the
+    process index — per-process streams without global state.
+    """
+    import random
+
+    import jax
+    import numpy as np
+
+    random.seed(seed)
+    np.random.seed(seed % (2**32))
+    return jax.random.fold_in(jax.random.PRNGKey(seed), jax.process_index())
