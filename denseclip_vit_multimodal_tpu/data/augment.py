@@ -94,6 +94,24 @@ def _sample_geometry(
     return sh / h, sw / w, oy, ox, flip
 
 
+def _source_coords_1d(
+    sy: jnp.ndarray,
+    sx: jnp.ndarray,
+    oy: jnp.ndarray,
+    ox: jnp.ndarray,
+    flip: jnp.ndarray,
+    crop: Tuple[int, int],
+):
+    """Half-pixel source coordinates per output row / column (separable)."""
+    ch, cw = crop
+    i = jnp.arange(ch, dtype=jnp.float32)
+    j = jnp.arange(cw, dtype=jnp.float32)
+    j = jnp.where(flip, (cw - 1) - j, j)
+    y = (i + oy + 0.5) / sy - 0.5
+    x = (j + ox + 0.5) / sx - 0.5
+    return y, x
+
+
 def _source_coords(
     sy: jnp.ndarray,
     sx: jnp.ndarray,
@@ -104,12 +122,11 @@ def _source_coords(
 ):
     """Half-pixel source coordinates for every output pixel of the crop."""
     ch, cw = crop
-    i = jnp.arange(ch, dtype=jnp.float32)[:, None]  # [ch, 1]
-    j = jnp.arange(cw, dtype=jnp.float32)[None, :]  # [1, cw]
-    j = jnp.where(flip, (cw - 1) - j, j)
-    y = (i + oy + 0.5) / sy - 0.5
-    x = (j + ox + 0.5) / sx - 0.5
-    return jnp.broadcast_to(y, (ch, cw)), jnp.broadcast_to(x, (ch, cw))
+    y, x = _source_coords_1d(sy, sx, oy, ox, flip, crop)
+    return (
+        jnp.broadcast_to(y[:, None], (ch, cw)),
+        jnp.broadcast_to(x[None, :], (ch, cw)),
+    )
 
 
 def _gather_bilinear(
@@ -156,6 +173,47 @@ def _gather_nearest(
     return jnp.where(inside, vals, jnp.asarray(fill, arr.dtype))
 
 
+def _interp_matrices(
+    y: jnp.ndarray,  # [ch] source y coord per output row
+    x: jnp.ndarray,  # [cw] source x coord per output col
+    src_hw: Tuple[int, int],
+):
+    """Separable resampling matrices.
+
+    Gathers are slow on TPU (the VPU serializes them); the same bilinear /
+    nearest resample is two dense matmuls on the MXU:
+
+        out = Wy @ src @ Wx^T        Wy: [ch, H], Wx: [cw, W]
+
+    Bilinear rows are the tent kernel max(0, 1-|src-s|); out-of-canvas
+    coordinates produce all-zero rows == the albumentations zero/ignore fill.
+    Nearest rows are one-hot at round(src).  Construction is a broadcasted
+    iota comparison — pure VPU, no gather anywhere.
+    """
+    h, w = src_hw
+    sy = jnp.arange(h, dtype=jnp.float32)[None, :]  # [1, H]
+    sx = jnp.arange(w, dtype=jnp.float32)[None, :]
+    wy_lin = jnp.maximum(0.0, 1.0 - jnp.abs(y[:, None] - sy))  # [ch, H]
+    wx_lin = jnp.maximum(0.0, 1.0 - jnp.abs(x[:, None] - sx))  # [cw, W]
+    wy_nn = (jnp.round(y)[:, None] == sy).astype(jnp.float32)
+    wx_nn = (jnp.round(x)[:, None] == sx).astype(jnp.float32)
+    return wy_lin, wx_lin, wy_nn, wx_nn
+
+
+def _resample_bilinear_mm(img: jnp.ndarray, wy: jnp.ndarray, wx: jnp.ndarray):
+    """[H, W, C] x [ch, H] x [cw, W] -> [ch, cw, C] via two MXU contractions."""
+    tmp = jnp.einsum("oh,hwc->owc", wy, img.astype(jnp.float32))
+    return jnp.einsum("pw,owc->opc", wx, tmp)
+
+
+def _resample_nearest_mm(arr: jnp.ndarray, wy_nn, wx_nn, fill):
+    """Nearest resample of [H, W] via one-hot matmuls; empty rows -> fill."""
+    vals = _resample_bilinear_mm(arr.astype(jnp.float32)[..., None], wy_nn, wx_nn)[..., 0]
+    inside = (wy_nn.sum(-1) > 0)[:, None] & (wx_nn.sum(-1) > 0)[None, :]
+    vals = jnp.where(inside, vals, jnp.asarray(fill, jnp.float32))
+    return vals.astype(arr.dtype) if jnp.issubdtype(arr.dtype, jnp.floating) else jnp.round(vals).astype(arr.dtype)
+
+
 def _color_jitter(
     key: jax.Array, img: jnp.ndarray, cfg: AugmentConfig
 ) -> jnp.ndarray:
@@ -188,24 +246,48 @@ def augment_sample(
     seg: Optional[jnp.ndarray],  # [H, W] int
     depth: Optional[jnp.ndarray],  # [H, W] float
     cfg: AugmentConfig,
+    use_matmul_resample: bool = True,
 ) -> Dict[str, jnp.ndarray]:
-    """One sample through the fused train-augmentation chain."""
+    """One sample through the fused train-augmentation chain.
+
+    Two equivalent resamplers: the matmul form (default — separable tent /
+    one-hot interpolation matrices contracted on the MXU) and a gather form
+    (kept for cross-validation; gathers serialize on the VPU and are ~10x
+    slower at Cityscapes sizes).
+    """
     src_hw = (image.shape[0], image.shape[1])
     k_geom, k_color = jax.random.split(key)
     sy, sx, oy, ox, flip = _sample_geometry(k_geom, src_hw, cfg)
-    y, x = _source_coords(sy, sx, oy, ox, flip, cfg.crop_size)
 
-    img = _gather_bilinear(image.astype(jnp.float32), y, x, fill=0.0)
+    out: Dict[str, jnp.ndarray] = {}
+    if use_matmul_resample:
+        y, x = _source_coords_1d(sy, sx, oy, ox, flip, cfg.crop_size)
+        wy_lin, wx_lin, wy_nn, wx_nn = _interp_matrices(y, x, src_hw)
+        img = _resample_bilinear_mm(image.astype(jnp.float32), wy_lin, wx_lin)
+        if seg is not None:
+            out["seg"] = _resample_nearest_mm(
+                seg.astype(jnp.int32), wy_nn, wx_nn, cfg.ignore_index
+            )
+        if depth is not None:
+            d = _resample_nearest_mm(
+                depth.astype(jnp.float32), wy_nn, wx_nn, 0.0
+            )
+            out["depth"] = d
+            out["depth_mask"] = d > 0.0
+    else:
+        y, x = _source_coords(sy, sx, oy, ox, flip, cfg.crop_size)
+        img = _gather_bilinear(image.astype(jnp.float32), y, x, fill=0.0)
+        if seg is not None:
+            out["seg"] = _gather_nearest(
+                seg, y, x, cfg.ignore_index
+            ).astype(jnp.int32)
+        if depth is not None:
+            d = _gather_nearest(depth, y, x, 0.0).astype(jnp.float32)
+            out["depth"] = d
+            out["depth_mask"] = d > 0.0
+
     img = _color_jitter(k_color, img, cfg)
-    out: Dict[str, jnp.ndarray] = {
-        "image": normalize_image(img, cfg.norm_mean, cfg.norm_std)
-    }
-    if seg is not None:
-        out["seg"] = _gather_nearest(seg, y, x, cfg.ignore_index).astype(jnp.int32)
-    if depth is not None:
-        d = _gather_nearest(depth, y, x, 0.0).astype(jnp.float32)
-        out["depth"] = d
-        out["depth_mask"] = d > 0.0
+    out["image"] = normalize_image(img, cfg.norm_mean, cfg.norm_std)
     return out
 
 
@@ -213,6 +295,7 @@ def augment_batch(
     key: jax.Array,
     batch: Dict[str, jnp.ndarray],
     cfg: AugmentConfig,
+    use_matmul_resample: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     """Batched fused augmentation (vmap over per-sample keys).
 
@@ -224,7 +307,7 @@ def augment_batch(
     depth = batch.get("depth")
 
     def one(k, img, sg, dp):
-        return augment_sample(k, img, sg, dp, cfg)
+        return augment_sample(k, img, sg, dp, cfg, use_matmul_resample)
 
     in_axes = (0, 0, 0 if seg is not None else None, 0 if depth is not None else None)
     return jax.vmap(one, in_axes=in_axes)(keys, batch["image"], seg, depth)

@@ -140,6 +140,27 @@ class MultiHeadAttention(nn.Module):
     attn_impl: str = ATTN_AUTO
     dtype: Dtype = jnp.float32
 
+    def _qkv_kernel_applicable(self, qkv: jnp.ndarray, dim: int) -> bool:
+        if self.attn_impl == ATTN_XLA:
+            return False
+        from denseclip_vit_multimodal_tpu.ops.attention import (
+            _FLASH_MIN_SEQ,
+            _ONESHOT_MAX_SEQ,
+            _on_tpu,
+        )
+        from denseclip_vit_multimodal_tpu.ops.mha_kernel import qkv_supported
+
+        n = qkv.shape[1]
+        if self.attn_impl == ATTN_AUTO and not (
+            _on_tpu() and _FLASH_MIN_SEQ <= n <= _ONESHOT_MAX_SEQ
+        ):
+            return False
+        if self.attn_impl == ATTN_FLASH and not (
+            _on_tpu() and n <= _ONESHOT_MAX_SEQ
+        ):
+            return False
+        return qkv_supported(self.num_heads, dim)
+
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, kv: Optional[jnp.ndarray] = None
@@ -156,6 +177,15 @@ class MultiHeadAttention(nn.Module):
 
         if kv is None:
             qkv = dense(3 * dim, use_bias=self.use_qkv_bias, name="qkv")(x)
+            if not self.causal and self._qkv_kernel_applicable(qkv, dim):
+                # Fast path: attention straight off the fused projection —
+                # no head split / transpose (ops/mha_kernel.py).
+                from denseclip_vit_multimodal_tpu.ops.mha_kernel import (
+                    mha_qkv_attention,
+                )
+
+                out = mha_qkv_attention(qkv, self.num_heads)
+                return dense(dim, use_bias=True, name="out")(out)
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
             q = dense(dim, use_bias=self.use_qkv_bias, name="q")(x)

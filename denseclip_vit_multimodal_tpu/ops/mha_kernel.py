@@ -37,14 +37,16 @@ _LANE = 128
 _SCORE_VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def _pick_block_q(n_pad: int, requested: int) -> int:
+def _pick_block_q(n_pad: int, requested: int, score_bufs: int = 1) -> int:
     """Largest 128-multiple divisor of n_pad whose fp32 score tile fits VMEM.
 
     Bigger q-tiles amortize the per-program K/V residency and MXU ramp-up:
     at N=1601 (pad 1664) a single 1664-row tile measured 2.45 ms/layer vs
-    2.96 ms for 512-row tiles.  `requested` caps the search (0 = no cap).
+    2.96 ms for 512-row tiles.  `requested` caps the search (0 = no cap);
+    `score_bufs` scales the budget for kernels holding several score tiles.
     """
     cap = requested if requested > 0 else n_pad
+    budget = _SCORE_VMEM_BUDGET // max(score_bufs, 1)
     best = _LANE
     for mult in range(1, n_pad // _LANE + 1):
         bq = mult * _LANE
@@ -52,7 +54,7 @@ def _pick_block_q(n_pad: int, requested: int) -> int:
             continue
         if bq > cap and best >= _LANE:
             break
-        if bq * n_pad * 4 <= _SCORE_VMEM_BUDGET:
+        if bq * n_pad * 4 <= budget:
             best = bq
     return best
 
@@ -163,3 +165,121 @@ def mha_attention(
     vt = jnp.swapaxes(v, 1, 2)
     out = _mha(qt, kt, vt, float(sm_scale), block_q, interpret)
     return jnp.swapaxes(out, 1, 2)
+
+
+# ---------------------------------------------------------------------------
+# qkv-direct variant: consumes the fused QKV projection output [B, N, 3*H*D]
+# without any head split / transpose.  The lane dimension is blocked in
+# 128-lane tiles (= 128/D heads per program) with three views of the SAME
+# array selected by index map: q tiles start at lane 0, k at H*D, v at 2*H*D.
+# Removes ~4 full-tensor transposes + the 3-way split per layer that the
+# [B,H,N,D] interface pays.
+# ---------------------------------------------------------------------------
+
+
+def _qkv_kernel(n_real: int, scale: float, heads_per_block: int,
+                q_ref, k_ref, v_ref, o_ref):
+    d = q_ref.shape[-1] // heads_per_block
+    for h in range(heads_per_block):
+        lo = h * d
+        q = q_ref[0, :, lo : lo + d]  # [bq, D]
+        k = k_ref[0, :, lo : lo + d]  # [Np, D]
+        v = v_ref[0, :, lo : lo + d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        n_pad = s.shape[-1]
+        if n_pad != n_real:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < n_real, s, jnp.finfo(jnp.float32).min)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(q.dtype)
+        o = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        o_ref[0, :, lo : lo + d] = o.astype(o_ref.dtype)
+
+
+def _qkv_fwd_impl(qkv, num_heads, scale, block_q, interpret):
+    from jax.experimental import pallas as pl
+
+    b, n, three_hd = qkv.shape
+    hd = three_hd // 3
+    head_dim = hd // num_heads
+    heads_per_block = max(_LANE // head_dim, 1)
+    n_pad = -(-n // _LANE) * _LANE
+    if n_pad != n:
+        qkv = jnp.pad(qkv, ((0, 0), (0, n_pad - n), (0, 0)))
+    bq = _pick_block_q(n_pad, block_q, score_bufs=heads_per_block)
+    lane_block = head_dim * heads_per_block
+    n_lane_blocks = hd // lane_block
+    grid = (b, n_lane_blocks, n_pad // bq)
+
+    # Lane-block index: q tiles live at [0, hd), k at [hd, 2hd), v at [2hd, 3hd).
+    q_spec = pl.BlockSpec((1, bq, lane_block), lambda i, hh, j: (i, j, hh))
+    k_spec = pl.BlockSpec(
+        (1, n_pad, lane_block), lambda i, hh, j: (i, 0, n_lane_blocks + hh)
+    )
+    v_spec = pl.BlockSpec(
+        (1, n_pad, lane_block), lambda i, hh, j: (i, 0, 2 * n_lane_blocks + hh)
+    )
+    out = pl.pallas_call(
+        functools.partial(_qkv_kernel, n, scale, heads_per_block),
+        grid=grid,
+        in_specs=[q_spec, k_spec, v_spec],
+        out_specs=pl.BlockSpec((1, bq, lane_block), lambda i, hh, j: (i, j, hh)),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, hd), qkv.dtype),
+        interpret=interpret,
+    )(qkv, qkv, qkv)
+    return out[:, :n, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def _qkv_mha(qkv, num_heads, scale, block_q, interpret):
+    return _qkv_fwd_impl(qkv, num_heads, scale, block_q, interpret)
+
+
+def _qkv_ref(qkv, num_heads, scale):
+    b, n, three_hd = qkv.shape
+    hd = three_hd // 3
+    d = hd // num_heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    to_bh = lambda x: jnp.swapaxes(
+        x.reshape(b, n, num_heads, d), 1, 2
+    ).reshape(b * num_heads, n, d)
+    out = _xla_reference(to_bh(q), to_bh(k), to_bh(v), scale)
+    return jnp.swapaxes(out.reshape(b, num_heads, n, d), 1, 2).reshape(b, n, hd)
+
+
+def _qkv_fwd(qkv, num_heads, scale, block_q, interpret):
+    return _qkv_fwd_impl(qkv, num_heads, scale, block_q, interpret), (qkv,)
+
+
+def _qkv_bwd(num_heads, scale, block_q, interpret, residuals, g):
+    (qkv,) = residuals
+    _, vjp = jax.vjp(lambda x: _qkv_ref(x, num_heads, scale), qkv)
+    return vjp(g)
+
+
+_qkv_mha.defvjp(_qkv_fwd, _qkv_bwd)
+
+
+def qkv_supported(num_heads: int, model_dim: int) -> bool:
+    head_dim = model_dim // num_heads
+    return head_dim in (64, 128) and (model_dim % _LANE == 0)
+
+
+def mha_qkv_attention(
+    qkv: jnp.ndarray,  # [B, N, 3*H*D] fused projection output
+    num_heads: int,
+    *,
+    sm_scale: Optional[float] = None,
+    block_q: int = 0,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Attention straight off the fused QKV projection; returns [B, N, H*D]."""
+    hd = qkv.shape[-1] // 3
+    if sm_scale is None:
+        sm_scale = (hd // num_heads) ** -0.5
+    return _qkv_mha(qkv, num_heads, float(sm_scale), block_q, interpret)

@@ -131,6 +131,31 @@ def test_augment_pad_fill_on_downscale():
     assert np.asarray(out["depth"][0])[32, 32] == 10.0
 
 
+def test_matmul_resample_matches_gather():
+    """The MXU matmul resampler must equal the gather resampler exactly."""
+    cfg = AugmentConfig(crop_size=(48, 96), scale_range=(0.4, 2.0),
+                        norm_mean=(0, 0, 0), norm_std=(1, 1, 1))
+    rng = np.random.RandomState(5)
+    batch = {
+        "image": jnp.asarray(rng.randint(0, 255, (3, 80, 120, 3), dtype=np.uint8)),
+        "seg": jnp.asarray(rng.randint(0, 19, (3, 80, 120)).astype(np.uint8)),
+        "depth": jnp.asarray(rng.uniform(0, 80, (3, 80, 120)).astype(np.float32)),
+    }
+    key = jax.random.PRNGKey(11)
+    mm = augment_batch(key, batch, cfg, use_matmul_resample=True)
+    ga = augment_batch(key, batch, cfg, use_matmul_resample=False)
+    np.testing.assert_allclose(
+        np.asarray(mm["image"]), np.asarray(ga["image"]), atol=2e-3
+    )
+    np.testing.assert_array_equal(np.asarray(mm["seg"]), np.asarray(ga["seg"]))
+    np.testing.assert_allclose(
+        np.asarray(mm["depth"]), np.asarray(ga["depth"]), rtol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(mm["depth_mask"]), np.asarray(ga["depth_mask"])
+    )
+
+
 def test_eval_preprocess_resizes_image_only():
     cfg = AugmentConfig(crop_size=(32, 64))
     batch = {

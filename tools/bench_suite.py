@@ -1,0 +1,151 @@
+#!/usr/bin/env python
+"""Benchmark suite: the BASELINE.md workload ladder, one JSON line each.
+
+Workloads (BASELINE.md / driver configs):
+  1. vit_b16_512x512_seg_forward      — single 512x512 crop forward
+  2. slide_1024x2048                  — full-frame slide inference, batch 1
+  3. multitask_batched_inference      — joint seg+depth, batched whole-frame
+  4. train_step_frozen_text_batch16   — training step, batch 16
+  5. (ViT-L data-parallel: run with --config denseclip_vitl14_... on a pod)
+
+All timings use the device-side fori_loop methodology (see bench.py): this
+environment dispatches through a relay where host-side timing lies.
+
+    python tools/bench_suite.py [--workloads 1 2 4] [--iters 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def device_loop_time(fn, args, iters: int) -> float:
+    """Seconds per iteration of fn(*args), looped on device."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def loop(args, iters):
+        def body(i, acc):
+            out = fn(*jax.tree.map(
+                lambda x: x + (acc * 1e-20).astype(x.dtype)
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+                else x,
+                args,
+            ))
+            leaf = jax.tree.leaves(out)[0]
+            return acc + jnp.ravel(leaf)[0].astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    float(loop(args, 1))  # compile + warmup
+    t0 = time.perf_counter()
+    float(loop(args, iters))
+    return (time.perf_counter() - t0) / iters
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="configs/denseclip_vitb16_cityscapes_multitask.yaml")
+    p.add_argument("--workloads", type=int, nargs="*", default=[1, 2, 3, 4])
+    p.add_argument("--iters", type=int, default=8)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from denseclip_vit_multimodal_tpu.core.config import load_config
+    from denseclip_vit_multimodal_tpu.data.augment import (
+        augment_config_from_data_cfg,
+    )
+    from denseclip_vit_multimodal_tpu.infer.slide import slide_inference
+    from denseclip_vit_multimodal_tpu.models.denseclip import (
+        CITYSCAPES_CLASSES,
+        build_denseclip,
+    )
+
+    cfg = load_config(args.config)
+    model, texts = build_denseclip(
+        cfg.model, CITYSCAPES_CLASSES, dtype=jnp.bfloat16
+    )
+    texts_j = jnp.asarray(texts)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 640, 640, 3), jnp.float32), texts_j
+    )
+    results = []
+
+    def emit(name, value, unit):
+        line = {"metric": name, "value": round(value, 4), "unit": unit}
+        results.append(line)
+        print(json.dumps(line), flush=True)
+
+    if 1 in args.workloads:
+        img = jnp.zeros((1, 512, 512, 3), jnp.float32)
+        dt = device_loop_time(
+            lambda v, im: model.apply(v, im, texts_j, train=False)["seg"],
+            (variables, img), args.iters,
+        )
+        emit("vit_b16_512x512_seg_forward", 1.0 / dt, "images/sec")
+
+    if 2 in args.workloads:
+        def one_frame(v, im):
+            def wf(w):
+                out = model.apply(v, w, texts_j, train=False)
+                return jnp.concatenate(
+                    [out["seg"].astype(jnp.float32),
+                     out["depth"].astype(jnp.float32)], -1)
+            return slide_inference(wf, im, 20, crop=(640, 640), stride=(426, 426))
+
+        img = jnp.zeros((1, 1024, 2048, 3), jnp.float32)
+        dt = device_loop_time(one_frame, (variables, img), args.iters)
+        emit("slide_1024x2048_multitask", 1.0 / dt, "images/sec")
+
+    if 3 in args.workloads:
+        img = jnp.zeros((4, 1024, 2048, 3), jnp.float32)
+        dt = device_loop_time(
+            lambda v, im: model.apply(v, im, texts_j, train=False)["seg"],
+            (variables, img), max(args.iters // 2, 2),
+        )
+        emit("whole_1024x2048_multitask_batch4", 4.0 / dt, "images/sec")
+
+    if 4 in args.workloads:
+        from denseclip_vit_multimodal_tpu.train.state import create_train_state
+        from denseclip_vit_multimodal_tpu.train.step import make_train_step
+
+        aug_cfg = augment_config_from_data_cfg(cfg.get("data", {}), train=True)
+        state = create_train_state(model, variables, cfg.get("training", {}), 100)
+        step = make_train_step(texts, aug_cfg)
+        rng = np.random.RandomState(0)
+        b = 16
+        batch = {
+            "image": jnp.asarray(
+                rng.randint(0, 255, (b, 1024, 2048, 3)).astype(np.uint8)),
+            "seg": jnp.asarray(
+                rng.randint(0, 19, (b, 1024, 2048)).astype(np.uint8)),
+            "depth": jnp.asarray(
+                rng.uniform(0.1, 80, (b, 1024, 2048)).astype(np.float32)),
+        }
+        key = jax.random.PRNGKey(0)
+        new_state, metrics = step(state, batch, key)  # compile
+        float(metrics["loss_total"])
+        t0 = time.perf_counter()
+        iters = max(args.iters // 2, 2)
+        for _ in range(iters):
+            new_state, metrics = step(new_state, batch, key)
+        float(metrics["loss_total"])  # sync via scalar fetch
+        dt = (time.perf_counter() - t0) / iters
+        emit("train_step_frozen_text_batch16", b / dt, "samples/sec")
+
+    with open("bench_suite_results.json", "w") as f:
+        json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
