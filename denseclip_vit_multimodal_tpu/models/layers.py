@@ -76,17 +76,25 @@ def _xla_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     causal: bool,
+    valid_len: Optional[int] = None,
 ) -> jnp.ndarray:
-    """Plain XLA attention: [B, N, H, Dh] inputs, fp32 softmax."""
+    """Plain XLA attention: [B, N, H, Dh] inputs, fp32 softmax.
+
+    `valid_len` masks key positions >= valid_len (pad-once sequences).
+    """
     head_dim = q.shape[-1]
     scale = head_dim**-0.5
     logits = jnp.einsum(
         "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
     ) * scale
+    n, m = logits.shape[-2], logits.shape[-1]
+    neg = jnp.finfo(jnp.float32).min
     if causal:
-        n, m = logits.shape[-2], logits.shape[-1]
         mask = jnp.tril(jnp.ones((n, m), dtype=bool))
-        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+        logits = jnp.where(mask, logits, neg)
+    if valid_len is not None and valid_len < m:
+        col = jnp.arange(m) < valid_len
+        logits = jnp.where(col[None, None, None, :], logits, neg)
     weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(q.dtype)
     return jnp.einsum("bhnm,bmhd->bnhd", weights, v)
 
@@ -96,11 +104,12 @@ def _flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     causal: bool,
+    valid_len: Optional[int] = None,
 ) -> jnp.ndarray:
     """Pallas TPU flash attention. Inputs [B, N, H, Dh]."""
     from denseclip_vit_multimodal_tpu.ops.attention import flash_attention
 
-    return flash_attention(q, k, v, causal=causal)
+    return flash_attention(q, k, v, causal=causal, valid_len=valid_len)
 
 
 def attention_core(
@@ -110,6 +119,7 @@ def attention_core(
     *,
     causal: bool = False,
     impl: str = ATTN_AUTO,
+    valid_len: Optional[int] = None,
 ) -> jnp.ndarray:
     """Dispatch to the configured attention implementation."""
     if impl == ATTN_AUTO:
@@ -117,8 +127,8 @@ def attention_core(
 
         impl = ATTN_FLASH if flash_supported(q) else ATTN_XLA
     if impl == ATTN_FLASH:
-        return _flash_attention(q, k, v, causal)
-    return _xla_attention(q, k, v, causal)
+        return _flash_attention(q, k, v, causal, valid_len)
+    return _xla_attention(q, k, v, causal, valid_len)
 
 
 class MultiHeadAttention(nn.Module):
@@ -163,7 +173,10 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, kv: Optional[jnp.ndarray] = None
+        self,
+        x: jnp.ndarray,
+        kv: Optional[jnp.ndarray] = None,
+        valid_len: Optional[int] = None,
     ) -> jnp.ndarray:
         dim = x.shape[-1]
         assert dim % self.num_heads == 0, (dim, self.num_heads)
@@ -184,7 +197,7 @@ class MultiHeadAttention(nn.Module):
                     mha_qkv_attention,
                 )
 
-                out = mha_qkv_attention(qkv, self.num_heads)
+                out = mha_qkv_attention(qkv, self.num_heads, valid_len=valid_len)
                 return dense(dim, use_bias=True, name="out")(out)
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:
@@ -198,7 +211,10 @@ class MultiHeadAttention(nn.Module):
         k = k.reshape(b, m, self.num_heads, head_dim)
         v = v.reshape(b, m, self.num_heads, head_dim)
 
-        out = attention_core(q, k, v, causal=self.causal, impl=self.attn_impl)
+        out = attention_core(
+            q, k, v, causal=self.causal, impl=self.attn_impl,
+            valid_len=valid_len if kv is None else None,
+        )
         out = out.reshape(b, n, dim)
         return dense(dim, use_bias=True, name="out")(out)
 
@@ -258,6 +274,7 @@ class ResidualAttentionBlock(nn.Module):
         x: jnp.ndarray,
         drop_path_rate: jnp.ndarray | float = 0.0,
         deterministic: bool = True,
+        valid_len: Optional[int] = None,
     ) -> jnp.ndarray:
         rng1 = rng2 = None
         if not deterministic and self.has_rng("dropout"):
@@ -269,7 +286,7 @@ class ResidualAttentionBlock(nn.Module):
             attn_impl=self.attn_impl,
             dtype=self.dtype,
             name="attn",
-        )(LayerNorm(name="ln_1")(x).astype(self.dtype))
+        )(LayerNorm(name="ln_1")(x).astype(self.dtype), valid_len=valid_len)
         x = x + drop_path(attn_out, drop_path_rate, deterministic, rng1)
         mlp_out = MLP(dtype=self.dtype, name="mlp")(
             LayerNorm(name="ln_2")(x).astype(self.dtype)
@@ -299,7 +316,10 @@ class Transformer(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, deterministic: bool = True
+        self,
+        x: jnp.ndarray,
+        deterministic: bool = True,
+        valid_len: Optional[int] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         # Linear stochastic-depth decay over layers (reference models.py:302).
         rates = jnp.linspace(0.0, self.drop_path_rate, self.layers)
@@ -316,14 +336,14 @@ class Transformer(nn.Module):
             def __call__(self, carry, rate):
                 block_cls = ResidualAttentionBlock
                 if remat:
-                    block_cls = nn.remat(block_cls, static_argnums=(3,))
+                    block_cls = nn.remat(block_cls, static_argnums=(3, 4))
                 y = block_cls(
                     num_heads=num_heads,
                     causal=causal,
                     attn_impl=attn_impl,
                     dtype=dtype,
                     name="block",
-                )(carry, rate, deterministic)
+                )(carry, rate, deterministic, valid_len)
                 return y, y
 
         Scanned = nn.scan(

@@ -55,6 +55,7 @@ class CLIPVisionTransformer(nn.Module):
     attn_impl: str = ATTN_AUTO
     dtype: Dtype = jnp.float32
     remat: bool = False
+    pad_sequence_to_lanes: bool = True  # pad-once + masked attention
 
     @property
     def base_grid(self) -> int:
@@ -109,6 +110,21 @@ class CLIPVisionTransformer(nn.Module):
 
         # --- transformer with taps ---
         seq = LayerNorm(name="ln_pre")(seq).astype(self.dtype)
+        # Pad-once: align the sequence to the 128-lane boundary here instead
+        # of copy-padding q/k/v inside the attention kernel EVERY layer
+        # (saves 12x3 pad copies per forward).  Pad keys are masked via
+        # `valid_len` in every attention impl; pad rows ride the residual
+        # stream harmlessly and are sliced off below.
+        n_tokens = seq.shape[1]
+        valid_len = None
+        if (
+            self.pad_sequence_to_lanes
+            and n_tokens >= 1024
+            and n_tokens % 128 != 0
+        ):
+            n_padded = -(-n_tokens // 128) * 128
+            seq = jnp.pad(seq, ((0, 0), (0, n_padded - n_tokens), (0, 0)))
+            valid_len = n_tokens
         _, taps = Transformer(
             width=self.width,
             layers=self.layers,
@@ -119,7 +135,9 @@ class CLIPVisionTransformer(nn.Module):
             dtype=self.dtype,
             remat=self.remat,
             name="transformer",
-        )(seq, deterministic=deterministic)
+        )(seq, deterministic=deterministic, valid_len=valid_len)
+        if valid_len is not None:
+            taps = taps[:, :, :n_tokens, :]
         # taps: [layers, B, 1+N, width]
 
         ln_post = LayerNorm(name="ln_post")

@@ -79,35 +79,38 @@ def flash_attention(
     *,
     causal: bool = False,
     sm_scale: Optional[float] = None,
+    valid_len: Optional[int] = None,
 ) -> jnp.ndarray:
     """Pallas attention. q/k/v: [B, N, H, Dh] -> [B, N, H, Dh].  Exact, any N.
 
     Dispatch: ViT-window sizes (N <= 4096) use the one-shot kernel
     (ops/mha_kernel.py — measured 2.4 ms vs 3.2 ms bundled at N=1601 on
     v5e); longer sequences stream through the bundled blockwise kernel.
+    `valid_len` masks trailing pad keys of an already-padded sequence.
     """
     if not causal and q.shape[1] <= _ONESHOT_MAX_SEQ:
         from denseclip_vit_multimodal_tpu.ops.mha_kernel import mha_attention
 
-        return mha_attention(q, k, v, sm_scale=sm_scale)
+        return mha_attention(q, k, v, sm_scale=sm_scale, valid_len=valid_len)
     fa = _flash_module()
     if fa is None:
         raise RuntimeError("Pallas flash attention unavailable on this backend")
     if sm_scale is None:
         sm_scale = q.shape[-1] ** -0.5
     b, n, h, d = q.shape
+    real_n = valid_len if valid_len is not None else n
     qt = jnp.swapaxes(q, 1, 2)  # [B, H, N, Dh]
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
 
     padded, block = _pad_and_block(n)
     segment_ids = None
-    if padded != n:
+    if padded != n or real_n != n:
         pad = padded - n
         qt = jnp.pad(qt, ((0, 0), (0, 0), (0, pad), (0, 0)))
         kt = jnp.pad(kt, ((0, 0), (0, 0), (0, pad), (0, 0)))
         vt = jnp.pad(vt, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        ids = (jnp.arange(padded) < n).astype(jnp.int32)
+        ids = (jnp.arange(padded) < real_n).astype(jnp.int32)
         ids = jnp.broadcast_to(ids[None], (b, padded))
         segment_ids = fa.SegmentIds(q=ids, kv=ids)
 

@@ -59,10 +59,14 @@ def _pick_block_q(n_pad: int, requested: int, score_bufs: int = 1) -> int:
     return best
 
 
-def _xla_reference(q, k, v, scale):
+def _xla_reference(q, k, v, scale, valid_len=None):
     """[BH, N, D] reference attention used for the VJP."""
     s = jnp.einsum("bnd,bmd->bnm", q, k, preferred_element_type=jnp.float32)
-    p = jax.nn.softmax(s * scale, axis=-1).astype(q.dtype)
+    s = s * scale
+    if valid_len is not None and valid_len < s.shape[-1]:
+        col = jnp.arange(s.shape[-1]) < valid_len
+        s = jnp.where(col[None, None, :], s, jnp.finfo(jnp.float32).min)
+    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
     return jnp.einsum("bnm,bmd->bnd", p, v)
 
 
@@ -94,10 +98,12 @@ def _mha_fwd_impl(
     scale: float,
     block_q: int,
     interpret: bool,
+    valid_len: Optional[int] = None,
 ) -> jnp.ndarray:
     from jax.experimental import pallas as pl
 
     b, h, n, d = q.shape
+    real_n = valid_len if valid_len is not None else n
     n_pad = -(-n // _LANE) * _LANE
     if n_pad != n:
         pad = ((0, 0), (0, 0), (0, n_pad - n), (0, 0))
@@ -110,7 +116,7 @@ def _mha_fwd_impl(
     grid = (b, h, n_pad // bq)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, n, scale),
+        functools.partial(_kernel, real_n, scale),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, bq, d), lambda i, hh, j: (i, hh, j, 0)),
@@ -124,22 +130,27 @@ def _mha_fwd_impl(
     return out[:, :, :n, :]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _mha(q, k, v, scale, block_q, interpret):
-    return _mha_fwd_impl(q, k, v, scale, block_q, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _mha(q, k, v, scale, block_q, interpret, valid_len):
+    return _mha_fwd_impl(q, k, v, scale, block_q, interpret, valid_len)
 
 
-def _mha_fwd(q, k, v, scale, block_q, interpret):
-    return _mha_fwd_impl(q, k, v, scale, block_q, interpret), (q, k, v)
+def _mha_fwd(q, k, v, scale, block_q, interpret, valid_len):
+    return (
+        _mha_fwd_impl(q, k, v, scale, block_q, interpret, valid_len),
+        (q, k, v),
+    )
 
 
-def _mha_bwd(scale, block_q, interpret, residuals, g):
+def _mha_bwd(scale, block_q, interpret, valid_len, residuals, g):
     q, k, v = residuals
 
     def ref(q, k, v):
         b, h, n, d = q.shape
         bh = lambda x: x.reshape(b * h, n, d)
-        return _xla_reference(bh(q), bh(k), bh(v), scale).reshape(b, h, n, d)
+        return _xla_reference(
+            bh(q), bh(k), bh(v), scale, valid_len
+        ).reshape(b, h, n, d)
 
     _, vjp = jax.vjp(ref, q, k, v)
     return vjp(g)
@@ -156,6 +167,7 @@ def mha_attention(
     sm_scale: Optional[float] = None,
     block_q: int = 0,  # 0 = auto: largest q-tile whose score block fits VMEM
     interpret: bool = False,
+    valid_len: Optional[int] = None,
 ) -> jnp.ndarray:
     """One-shot Pallas attention; [B, N, H, D] in and out.  Exact, any N."""
     if sm_scale is None:
@@ -163,7 +175,7 @@ def mha_attention(
     qt = jnp.swapaxes(q, 1, 2)
     kt = jnp.swapaxes(k, 1, 2)
     vt = jnp.swapaxes(v, 1, 2)
-    out = _mha(qt, kt, vt, float(sm_scale), block_q, interpret)
+    out = _mha(qt, kt, vt, float(sm_scale), block_q, interpret, valid_len)
     return jnp.swapaxes(out, 1, 2)
 
 
@@ -201,10 +213,11 @@ def _qkv_kernel(n_real: int, scale: float, heads_per_block: int,
         o_ref[0, :, lo : lo + d] = o.astype(o_ref.dtype)
 
 
-def _qkv_fwd_impl(qkv, num_heads, scale, block_q, interpret):
+def _qkv_fwd_impl(qkv, num_heads, scale, block_q, interpret, valid_len=None):
     from jax.experimental import pallas as pl
 
     b, n, three_hd = qkv.shape
+    real_n = valid_len if valid_len is not None else n
     hd = three_hd // 3
     head_dim = hd // num_heads
     heads_per_block = max(_LANE // head_dim, 1)
@@ -225,7 +238,7 @@ def _qkv_fwd_impl(qkv, num_heads, scale, block_q, interpret):
         (1, n_pad, lane_block), lambda i, hh, j: (i, 0, 2 * n_lane_blocks + hh)
     )
     out = pl.pallas_call(
-        functools.partial(_qkv_kernel, n, scale, heads_per_block),
+        functools.partial(_qkv_kernel, real_n, scale, heads_per_block),
         grid=grid,
         in_specs=[q_spec, k_spec, v_spec],
         out_specs=pl.BlockSpec((1, bq, lane_block), lambda i, hh, j: (i, j, hh)),
@@ -235,12 +248,12 @@ def _qkv_fwd_impl(qkv, num_heads, scale, block_q, interpret):
     return out[:, :n, :]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
-def _qkv_mha(qkv, num_heads, scale, block_q, interpret):
-    return _qkv_fwd_impl(qkv, num_heads, scale, block_q, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def _qkv_mha(qkv, num_heads, scale, block_q, interpret, valid_len):
+    return _qkv_fwd_impl(qkv, num_heads, scale, block_q, interpret, valid_len)
 
 
-def _qkv_ref(qkv, num_heads, scale):
+def _qkv_ref(qkv, num_heads, scale, valid_len=None):
     b, n, three_hd = qkv.shape
     hd = three_hd // 3
     d = hd // num_heads
@@ -248,17 +261,20 @@ def _qkv_ref(qkv, num_heads, scale):
     to_bh = lambda x: jnp.swapaxes(
         x.reshape(b, n, num_heads, d), 1, 2
     ).reshape(b * num_heads, n, d)
-    out = _xla_reference(to_bh(q), to_bh(k), to_bh(v), scale)
+    out = _xla_reference(to_bh(q), to_bh(k), to_bh(v), scale, valid_len)
     return jnp.swapaxes(out.reshape(b, num_heads, n, d), 1, 2).reshape(b, n, hd)
 
 
-def _qkv_fwd(qkv, num_heads, scale, block_q, interpret):
-    return _qkv_fwd_impl(qkv, num_heads, scale, block_q, interpret), (qkv,)
+def _qkv_fwd(qkv, num_heads, scale, block_q, interpret, valid_len):
+    return (
+        _qkv_fwd_impl(qkv, num_heads, scale, block_q, interpret, valid_len),
+        (qkv,),
+    )
 
 
-def _qkv_bwd(num_heads, scale, block_q, interpret, residuals, g):
+def _qkv_bwd(num_heads, scale, block_q, interpret, valid_len, residuals, g):
     (qkv,) = residuals
-    _, vjp = jax.vjp(lambda x: _qkv_ref(x, num_heads, scale), qkv)
+    _, vjp = jax.vjp(lambda x: _qkv_ref(x, num_heads, scale, valid_len), qkv)
     return vjp(g)
 
 
@@ -277,9 +293,12 @@ def mha_qkv_attention(
     sm_scale: Optional[float] = None,
     block_q: int = 0,
     interpret: bool = False,
+    valid_len: Optional[int] = None,
 ) -> jnp.ndarray:
     """Attention straight off the fused QKV projection; returns [B, N, H*D]."""
     hd = qkv.shape[-1] // 3
     if sm_scale is None:
         sm_scale = (hd // num_heads) ** -0.5
-    return _qkv_mha(qkv, num_heads, float(sm_scale), block_q, interpret)
+    return _qkv_mha(
+        qkv, num_heads, float(sm_scale), block_q, interpret, valid_len
+    )

@@ -188,3 +188,23 @@ class TestComposite:
         a = model.apply(variables, img, jnp.asarray(texts))
         b = model.apply(variables, img, jnp.asarray(texts))
         np.testing.assert_array_equal(np.asarray(a["seg"]), np.asarray(b["seg"]))
+
+
+def test_vit_pad_once_equals_unpadded():
+    """Pad-once sequence alignment + masked attention must not change outputs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from denseclip_vit_multimodal_tpu.models.vit import CLIPVisionTransformer
+
+    kw = dict(patch_size=8, width=64, layers=2, heads=2,
+              input_resolution=64, out_indices=(0, 1), clip_proj_dim=16)
+    vit_pad = CLIPVisionTransformer(pad_sequence_to_lanes=True, **kw)
+    vit_raw = CLIPVisionTransformer(pad_sequence_to_lanes=False, **kw)
+    # grid 36x36 -> N=1297: >=1024 and not a lane multiple -> pad path engages
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 288, 288, 3), jnp.float32)
+    params = vit_raw.init(jax.random.PRNGKey(1), x)
+    out_pad = vit_pad.apply(params, x)
+    out_raw = vit_raw.apply(params, x)
+    for a, b in zip(out_pad, out_raw):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
