@@ -221,6 +221,13 @@ def train(cfg, work_dir: str, resume: Optional[str] = None,
     # --- data ---
     train_ds = build_dataset(data_cfg, "train")
     global_batch = int(training_cfg.get("batch_size", 8))
+    data_ways = mesh.shape[mesh_lib.DATA_AXIS]
+    if global_batch % data_ways:
+        raise ValueError(
+            f"training.batch_size={global_batch} must be divisible by the "
+            f"data mesh axis ({data_ways} ways); adjust batch_size or "
+            f"tpu.mesh (batch_size is GLOBAL, unlike torch's per-process)"
+        )
     local_batch = mesh_lib.local_batch_size(global_batch, mesh)
     train_loader = DataLoader(
         train_ds,

@@ -1,0 +1,91 @@
+"""End-to-end trainer integration on synthetic data: train -> artifacts ->
+resume continuity (reference --resume semantics, train_denseclip.py:1106-1133).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from denseclip_vit_multimodal_tpu.core.config import Config
+from denseclip_vit_multimodal_tpu.train.loop import train
+
+
+def _tiny_cfg(tmp_path, epochs=2):
+    return Config({
+        "data": {
+            "dataset_type": "CityscapesDepthSegDataset",
+            "synthetic": True,
+            "synthetic_options": {"length": 16, "image_size": [64, 128]},
+            "classes": 19,
+            "ignore_label": 255,
+            "depth_max": 80.0,
+            "crop_size": [32, 64],
+            "scale_range": [0.75, 1.25],
+        },
+        "model": {
+            "type": "DenseCLIP",
+            "text_dim": 64,
+            "context_length": 6,
+            "token_embed_dim": 64,
+            "score_concat_index": -1,
+            "backbone": {
+                "type": "CLIPVisionTransformer",
+                "patch_size": 16, "width": 64, "layers": 2, "heads": 2,
+                "input_resolution": 64, "output_dim": 64,
+                "out_indices": [0, 1],
+            },
+            "text_encoder": {
+                "type": "CLIPTextContextEncoder",
+                "context_length": 10, "vocab_size": 49408,
+                "transformer_width": 64, "transformer_heads": 2,
+                "transformer_layers": 2, "embed_dim": 64,
+            },
+            "neck": {"type": "ViTFeatureFusionNeck", "inter_channels": 16,
+                     "out_channels": 32},
+            "decode_head": {"type": "FPNHead", "in_channels": 32,
+                            "channels": 32, "num_classes": 19},
+            "depth_head": {"type": "FCNHeadDepth", "in_channels": 32,
+                           "channels": 16},
+        },
+        "training": {
+            "epochs": epochs,
+            "batch_size": 8,
+            "workers": 2,
+            "optimizer": {"lr": 1e-3, "weight_decay": 0.01},
+            "scheduler": {"type": "CosineAnnealingLR", "T_max": epochs},
+            "seed": 0,
+            "eval_interval": 1,
+            "save_interval": 1,
+            "log_interval": 1,
+            "save_visualizations": True,
+        },
+        "tpu": {"compute_dtype": "float32", "mesh": {"data": -1}},
+    })
+
+
+def test_train_validate_checkpoint_resume(tmp_path):
+    work = str(tmp_path / "run1")
+    cfg = _tiny_cfg(tmp_path, epochs=2)
+    metrics = train(cfg, work)
+    assert "miou" in metrics and np.isfinite(metrics["miou"])
+    assert "depth_rmse" in metrics
+    # artifacts
+    assert os.path.exists(os.path.join(work, "final_config.yaml"))
+    assert os.path.exists(os.path.join(work, "validation_metrics.csv"))
+    ckpts = os.listdir(os.path.join(work, "checkpoints"))
+    assert "latest" in ckpts and any(c.startswith("epoch_") for c in ckpts)
+    assert os.path.exists(
+        os.path.join(work, "visualizations", "epoch_0.png")
+    )
+
+    # resume: continue to epoch 3 from the saved state
+    cfg3 = _tiny_cfg(tmp_path, epochs=3)
+    metrics3 = train(cfg3, work, resume=work)
+    assert "miou" in metrics3
+    # a new epoch checkpoint appeared
+    epochs_saved = {
+        c for c in os.listdir(os.path.join(work, "checkpoints"))
+        if c.startswith("epoch_")
+    }
+    assert "epoch_2" in epochs_saved
