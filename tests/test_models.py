@@ -208,3 +208,22 @@ def test_vit_pad_once_equals_unpadded():
     out_raw = vit_raw.apply(params, x)
     for a, b in zip(out_pad, out_raw):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_score_map_matches_naive_normalize():
+    """Fused score map == normalize-both-then-einsum (reference
+    denseclip.py:670-676 math)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from denseclip_vit_multimodal_tpu.ops.score_map import score_map
+
+    kv, kt = jax.random.split(jax.random.PRNGKey(0))
+    vis = jax.random.normal(kv, (2, 5, 7, 32), jnp.float32)
+    txt = jax.random.normal(kt, (2, 19, 32), jnp.float32)
+    fused = score_map(vis, txt)
+    vn = vis / jnp.linalg.norm(vis, axis=-1, keepdims=True)
+    tn = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+    naive = jnp.einsum("bhwc,bkc->bhwk", vn, tn)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(naive), atol=2e-6)
+    assert float(jnp.max(jnp.abs(fused))) <= 1.0 + 1e-5
