@@ -254,7 +254,10 @@ def build_denseclip(
     cfg = dict(model_cfg)
     text_dim = int(cfg.get("text_dim", 512))
     fixed_len = int(cfg.get("context_length", 6))
-    token_embed_dim = int(cfg.get("token_embed_dim", 512))
+    # Learnable prompt vectors live in the text transformer width; default
+    # to it so presets can't silently mismatch (cf. the ViT-L tower at 768).
+    _te_width = int(dict(cfg.get("text_encoder", {})).get("transformer_width", 512))
+    token_embed_dim = int(cfg.get("token_embed_dim", _te_width))
 
     # --- backbone ---
     bb = dict(cfg["backbone"])
