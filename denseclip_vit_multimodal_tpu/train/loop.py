@@ -210,6 +210,10 @@ def train(cfg, work_dir: str, resume: Optional[str] = None,
     seed = int(training_cfg.get("seed", 42))
     rng = jax.random.PRNGKey(seed)
 
+    if is_main:
+        from denseclip_vit_multimodal_tpu.utils.env import collect_env_info
+
+        logger.info("environment:\n%s", collect_env_info())
     mesh = mesh_lib.mesh_from_config(tpu_cfg)
     logger.info(
         "mesh %s over %d devices (%s)",
