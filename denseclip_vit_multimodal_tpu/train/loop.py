@@ -134,12 +134,32 @@ def validate(
 
     `visualize_to` saves a prediction panel PNG for the first sample
     (reference visualize_multi_task, train_denseclip.py:658-681)."""
+    data_ways = mesh.shape["data"] if mesh is not None else 1
+
+    def padded_batches():
+        """Pad the remainder batch to the full size with ignore-only samples
+        (seg=255, depth=0) so it shards over the data axis; the padding
+        contributes nothing to any metric."""
+        for batch in val_loader.epoch(0):
+            b = batch["image"].shape[0]
+            target = -(-b // data_ways) * data_ways
+            if target != b:
+                pad = target - b
+                padded = {}
+                for k, v in batch.items():
+                    fill = np.zeros((pad,) + v.shape[1:], v.dtype)
+                    if k == "seg":
+                        fill[:] = 255
+                    padded[k] = np.concatenate([v, fill], axis=0)
+                batch = padded
+            yield batch
+
     cm_total = None
     depth_sums_total = None
     depth_count_total = None
     losses: Dict[str, list] = {}
     n_batches = 0
-    for batch in device_prefetch(val_loader.epoch(0), mesh=mesh):
+    for batch in device_prefetch(padded_batches(), mesh=mesh):
         results = eval_step(state, batch)
         if visualize_to and n_batches == 0 and jax.process_index() == 0:
             try:

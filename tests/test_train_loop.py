@@ -16,7 +16,7 @@ def _tiny_cfg(tmp_path, epochs=2):
         "data": {
             "dataset_type": "CityscapesDepthSegDataset",
             "synthetic": True,
-            "synthetic_options": {"length": 16, "image_size": [64, 128]},
+            "synthetic_options": {"length": 18, "image_size": [64, 128]},
             "classes": 19,
             "ignore_label": 255,
             "depth_max": 80.0,
