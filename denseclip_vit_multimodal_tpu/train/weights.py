@@ -40,9 +40,16 @@ def ensure_weights(path: str, logger=None, timeout: int = 600) -> Optional[str]:
         log(f"no known URL for {name}; cannot fetch {path}")
         return None
 
-    import jax
+    # jax is only needed for multi-process coordination; a plain host
+    # environment (e.g. the download shell script) works without it.
+    try:
+        import jax
 
-    if jax.process_index() == 0:
+        process_index, process_count = jax.process_index(), jax.process_count()
+    except Exception:
+        process_index, process_count = 0, 1
+
+    if process_index == 0:
         try:
             import urllib.request
 
@@ -54,7 +61,7 @@ def ensure_weights(path: str, logger=None, timeout: int = 600) -> Optional[str]:
         except Exception as e:
             log(f"download failed ({e}); continuing without pretrained weights")
             return None
-    if jax.process_count() > 1:
+    if process_count > 1:
         # Barrier: all processes wait until the file lands on shared storage
         # (or give up after `timeout`).
         import time
