@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import collections
 import concurrent.futures as cf
-import threading
 from typing import Any, Dict, Iterator, Optional
 
 import numpy as np

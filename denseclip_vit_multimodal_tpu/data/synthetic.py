@@ -7,7 +7,8 @@ paths without any data on disk.  Samples are deterministic in (seed, idx).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+
+from typing import Tuple
 
 import numpy as np
 

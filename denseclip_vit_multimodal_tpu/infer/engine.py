@@ -18,7 +18,7 @@ keyed on static shapes replaces torch's dynamic re-tracing.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -147,7 +147,9 @@ class Inferencer:
         acc_seg = None
         acc_depth = None
         n = 0
-        patch = 16  # keep scaled sizes ViT-grid aligned
+        # Keep scaled sizes grid-aligned for the backbone (ViT patch or
+        # ResNet stride-32 pyramid).
+        patch = int(getattr(self.model.backbone, "patch_size", 32) or 32)
 
         for s in scales:
             sh = max(int(round(h * s / patch)) * patch, patch)

@@ -22,7 +22,6 @@ normalization is one fused multiply.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, List, Sequence, Tuple
 
 import jax

@@ -21,7 +21,6 @@ Design choices vs the reference trainer loop (train_denseclip.py:1183-1385):
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax

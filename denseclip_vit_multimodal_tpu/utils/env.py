@@ -13,7 +13,7 @@ import contextlib
 import platform
 import sys
 import time
-from typing import Dict, Iterator, Optional
+from typing import Iterator, Optional
 
 
 def collect_env_info() -> str:

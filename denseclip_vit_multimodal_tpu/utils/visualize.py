@@ -10,7 +10,7 @@ Pure host-side (numpy + matplotlib Agg); never touches the device path.
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
