@@ -67,9 +67,11 @@ def flash_supported(q: jnp.ndarray) -> bool:
     return n >= _FLASH_MIN_SEQ and head_dim in (64, 128, 256)
 
 
-# Above this sequence length the one-shot kernel's VMEM score tile no longer
-# fits comfortably; stream K/V with the bundled flash kernel instead.
-_ONESHOT_MAX_SEQ = 4096
+# Above this sequence length the one-shot kernel's whole-K/V VMEM residency
+# no longer pays off; stream K/V with the bundled blockwise kernel instead.
+# 8448 covers full-frame 1024x2048 ViT-B/16 (N=8193: one-shot 4.38 ms vs
+# bundled 4.81 ms measured on v5e).
+_ONESHOT_MAX_SEQ = 8448
 
 
 def flash_attention(

@@ -33,8 +33,11 @@ import jax
 import jax.numpy as jnp
 
 _LANE = 128
-# Budget for the fp32 score tile in VMEM (16 MB/core minus q/k/v/out tiles).
-_SCORE_VMEM_BUDGET = 12 * 1024 * 1024
+# Budget for the fp32 score tile in VMEM.  Half the 16 MB/core: the softmax
+# chain can hold a second score-sized temporary (exp / mask iota) alive, and
+# K/V tiles + compiler scratch take the rest (an 10.6 MB tile OOMed at
+# N=8320; 832-row tiles measured within 2% of 1664-row ones at N=1664).
+_SCORE_VMEM_BUDGET = 8 * 1024 * 1024
 
 
 def _pick_block_q(n_pad: int, requested: int, score_bufs: int = 1) -> int:
@@ -47,12 +50,13 @@ def _pick_block_q(n_pad: int, requested: int, score_bufs: int = 1) -> int:
     """
     cap = requested if requested > 0 else n_pad
     budget = _SCORE_VMEM_BUDGET // max(score_bufs, 1)
-    best = _LANE
-    for mult in range(1, n_pad // _LANE + 1):
-        bq = mult * _LANE
+    best = 8
+    # Mosaic needs the q-tile (second-to-last block dim) to be a multiple of
+    # 8 sublanes only; search all 8-multiple divisors of n_pad.
+    for bq in range(8, n_pad + 1, 8):
         if n_pad % bq:
             continue
-        if bq > cap and best >= _LANE:
+        if bq > cap:
             break
         if bq * n_pad * 4 <= budget:
             best = bq
