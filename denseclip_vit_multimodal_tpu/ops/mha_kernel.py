@@ -33,6 +33,7 @@ import jax
 import jax.numpy as jnp
 
 _LANE = 128
+_LOG2E = 1.4426950408889634  # softmax via exp2: scale*log2(e) folds into QK
 # Budget for the fp32 score tile in VMEM.  Half the 16 MB/core: the softmax
 # chain can hold a second score-sized temporary (exp / mask iota) alive, and
 # K/V tiles + compiler scratch take the rest (an 10.6 MB tile OOMed at
@@ -78,15 +79,16 @@ def _kernel(n_real: int, scale: float, q_ref, k_ref, v_ref, o_ref):
     q = q_ref[0, 0]  # [bq, D]
     k = k_ref[0, 0]  # [Np, D]
     v = v_ref[0, 0]
+    # exp(x*scale) == exp2(x*scale*log2e): base-2 exp is the VPU-native form.
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [bq, Np] fp32
+    ) * (scale * _LOG2E)  # [bq, Np] fp32
     n_pad = s.shape[-1]
     if n_pad != n_real:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < n_real, s, jnp.finfo(jnp.float32).min)
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
+    p = jnp.exp2(s - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
     p = (p / denom).astype(q.dtype)
     o = jax.lax.dot_general(
@@ -203,13 +205,13 @@ def _qkv_kernel(n_real: int, scale: float, heads_per_block: int,
         v = v_ref[0, :, lo : lo + d]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale
+        ) * (scale * _LOG2E)
         n_pad = s.shape[-1]
         if n_pad != n_real:
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < n_real, s, jnp.finfo(jnp.float32).min)
         m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
+        p = jnp.exp2(s - m)
         p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(q.dtype)
         o = jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
