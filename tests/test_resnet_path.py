@@ -94,3 +94,52 @@ def test_all_preset_configs_load():
         cfg = load_config(path)
         assert "model" in cfg and "backbone" in cfg["model"], path
         assert "training" in cfg, path
+
+
+def test_rn_train_step_with_lr_mults(tiny_rn_cfg):
+    """Heritage recipe: RN backbone trains with backbone lr x0.1 + frozen text
+    (configs/denseclip_fpn_vit-b_640x640_80k.py:53-63 semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from denseclip_vit_multimodal_tpu.data.augment import AugmentConfig
+    from denseclip_vit_multimodal_tpu.train.state import create_train_state
+    from denseclip_vit_multimodal_tpu.train.step import make_train_step
+
+    model, texts = build_denseclip(tiny_rn_cfg, CITYSCAPES_CLASSES)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, 3), jnp.float32),
+        jnp.asarray(texts),
+    )
+    tcfg = {
+        "epochs": 1,
+        "optimizer": {"lr": 1e-3},
+        "scheduler": {"type": "PolyWarmup", "warmup_steps": 2,
+                      "total_steps": 10},
+        "lr_mults": {"backbone": 0.1},
+    }
+    # heritage recipe: only the text tower frozen, backbone trains at lr x0.1
+    state = create_train_state(model, variables, tcfg, steps_per_epoch=5,
+                               frozen_modules=("text_encoder",))
+    aug = AugmentConfig(crop_size=(64, 64), scale_range=(0.75, 1.25))
+    step = make_train_step(texts, aug, frozen_modules=("text_encoder",))
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": jnp.asarray(rng.randint(0, 255, (2, 96, 96, 3)).astype(np.uint8)),
+        "seg": jnp.asarray(rng.randint(0, 19, (2, 96, 96)).astype(np.uint8)),
+    }
+    before_bb = np.asarray(
+        jax.tree.leaves(state.params["backbone"])[0]
+    ).copy()
+    before_te = jax.tree.map(np.asarray, state.params["text_encoder"])
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss_total"]))
+    # text tower frozen, backbone moved
+    same_te = jax.tree.map(
+        np.array_equal, before_te, jax.tree.map(np.asarray,
+                                                new_state.params["text_encoder"])
+    )
+    assert all(jax.tree.leaves(same_te))
+    after_bb = np.asarray(jax.tree.leaves(new_state.params["backbone"])[0])
+    assert not np.array_equal(before_bb, after_bb)
