@@ -39,14 +39,24 @@ def maybe_initialize_distributed() -> None:
     but without the hardcoded localhost rendezvous: `jax.distributed` reads
     its coordinator from the environment (TPU pods set this up natively).
     Safe to call when single-process.
+
+    Ordering matters: `jax.distributed.initialize()` must run BEFORE anything
+    initializes the backend (`jax.devices()`, `jax.process_count()`, any
+    computation) — once the backend exists single-process, initialize() fails.
+    So the decision is made purely from the environment, never by querying
+    the backend.
     """
     import os
 
-    if jax.process_count() > 1:
-        return  # already initialized
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if coord:
-        jax.distributed.initialize()
+    if not coord:
+        return  # single-process launch: nothing to do, backend untouched
+    from jax._src import distributed as _dist
+
+    # already-initialized guard that does NOT touch the XLA backend
+    if getattr(_dist.global_state, "client", None) is not None:
+        return
+    jax.distributed.initialize()
 
 
 def make_mesh(
