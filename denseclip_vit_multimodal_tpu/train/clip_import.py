@@ -222,6 +222,213 @@ def _merge_into(dst: Params, src: Params) -> int:
     return count
 
 
+def _ln(state: Dict[str, np.ndarray], prefix: str) -> Params:
+    return {"scale": state[f"{prefix}.weight"], "bias": state[f"{prefix}.bias"]}
+
+
+def _linear(state: Dict[str, np.ndarray], prefix: str) -> Params:
+    out = {"kernel": _t(state[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in state:
+        out["bias"] = state[f"{prefix}.bias"]
+    return out
+
+
+def _conv(state: Dict[str, np.ndarray], prefix: str) -> Params:
+    # torch [out, in, kh, kw] -> flax NHWC kernel [kh, kw, in, out]
+    out = {"kernel": state[f"{prefix}.weight"].transpose(2, 3, 1, 0)}
+    if f"{prefix}.bias" in state:
+        out["bias"] = state[f"{prefix}.bias"]
+    return out
+
+
+def _bn(state: Dict[str, np.ndarray], prefix: str) -> tuple[Params, Params]:
+    """BatchNorm -> (params, batch_stats)."""
+    params = {"scale": state[f"{prefix}.weight"], "bias": state[f"{prefix}.bias"]}
+    stats = {
+        "mean": state[f"{prefix}.running_mean"],
+        "var": state[f"{prefix}.running_var"],
+    }
+    return params, stats
+
+
+def _count_indexed(state: Dict[str, np.ndarray], fmt: str) -> int:
+    n = 0
+    while any(k.startswith(fmt.format(i=n)) for k in state):
+        n += 1
+    return n
+
+
+def _fcn_head(state: Dict[str, np.ndarray], prefix: str) -> tuple[Params, Params]:
+    """torchvision FCNHead + appended classifier -> our FCNHead tree.
+
+    The reference builds torchvision `FCNHead(in, channels)` (Sequential:
+    Conv3x3 no-bias / BN / ReLU / Dropout / Conv1x1) and ASSIGNS `.classifier`,
+    which appends a final Conv1x1 (reference denseclip.py:305-309, 343-349).
+    State keys are the Sequential indices 0/1/4 plus 'classifier'.
+    """
+    bn_params, bn_stats = _bn(state, f"{prefix}.1")
+    params = {
+        "conv0": _conv(state, f"{prefix}.0"),
+        "bn0": bn_params,
+        "conv1": _conv(state, f"{prefix}.4"),
+        "classifier": _conv(state, f"{prefix}.classifier"),
+    }
+    return params, {"bn0": bn_stats}
+
+
+def _fusion_neck(state: Dict[str, np.ndarray], prefix: str) -> tuple[Params, Params]:
+    """Reference ViTFeatureFusionNeck (models.py:717-782) -> our neck tree."""
+    params: Params = {}
+    stats: Params = {}
+    levels = _count_indexed(state, f"{prefix}.process_layers.{{i}}.")
+    for i in range(levels):
+        bn_params, bn_stats = _bn(state, f"{prefix}.process_layers.{i}.1")
+        params[f"process_{i}"] = {
+            "conv": _conv(state, f"{prefix}.process_layers.{i}.0"),
+            "bn": bn_params,
+        }
+        stats[f"process_{i}"] = {"bn": bn_stats}
+    bn_params, bn_stats = _bn(state, f"{prefix}.fusion_layer.1")
+    params["fuse"] = {"conv": _conv(state, f"{prefix}.fusion_layer.0"), "bn": bn_params}
+    stats["fuse"] = {"bn": bn_stats}
+    return params, stats
+
+
+def _einsum_attn_self(state: Dict[str, np.ndarray], prefix: str) -> Params:
+    """Reference einsum `Attention` (models.py:311-344: separate unbiased
+    q/k/v projections + biased out proj) -> our fused-QKV self-attention."""
+    qkv = np.concatenate(
+        [
+            _t(state[f"{prefix}.q_proj.weight"]),
+            _t(state[f"{prefix}.k_proj.weight"]),
+            _t(state[f"{prefix}.v_proj.weight"]),
+        ],
+        axis=1,
+    )
+    return {"qkv": {"kernel": qkv}, "out": _linear(state, f"{prefix}.proj")}
+
+
+def _einsum_attn_cross(state: Dict[str, np.ndarray], prefix: str) -> Params:
+    kv = np.concatenate(
+        [_t(state[f"{prefix}.k_proj.weight"]), _t(state[f"{prefix}.v_proj.weight"])],
+        axis=1,
+    )
+    return {
+        "q": {"kernel": _t(state[f"{prefix}.q_proj.weight"])},
+        "kv": {"kernel": kv},
+        "out": _linear(state, f"{prefix}.proj"),
+    }
+
+
+def _context_decoder(state: Dict[str, np.ndarray], prefix: str) -> Params:
+    """Reference ContextDecoder (models.py:867-917) -> our tree.
+
+    memory_proj = Sequential(LN, Linear, LN); text_proj = Sequential(LN,
+    Linear); decoder = N x TransformerDecoderLayer (models.py:346-375);
+    out_proj = Sequential(LN, Linear).
+    """
+    params: Params = {
+        "memory_ln_in": _ln(state, f"{prefix}.memory_proj.0"),
+        "memory_proj": _linear(state, f"{prefix}.memory_proj.1"),
+        "memory_ln_out": _ln(state, f"{prefix}.memory_proj.2"),
+        "text_ln": _ln(state, f"{prefix}.text_proj.0"),
+        "text_proj": _linear(state, f"{prefix}.text_proj.1"),
+        "out_ln": _ln(state, f"{prefix}.out_proj.0"),
+        "out_proj": _linear(state, f"{prefix}.out_proj.1"),
+    }
+    for i in range(_count_indexed(state, f"{prefix}.decoder.{{i}}.")):
+        lp = f"{prefix}.decoder.{i}"
+        params[f"layer_{i}"] = {
+            "norm1": _ln(state, f"{lp}.norm1"),
+            "norm2": _ln(state, f"{lp}.norm2"),
+            "norm3": _ln(state, f"{lp}.norm3"),
+            "self_attn": _einsum_attn_self(state, f"{lp}.self_attn"),
+            "cross_attn": _einsum_attn_cross(state, f"{lp}.cross_attn"),
+            "mlp_fc": _linear(state, f"{lp}.mlp.0"),
+            "mlp_proj": _linear(state, f"{lp}.mlp.3"),
+        }
+    return params
+
+
+def import_reference_denseclip(
+    state: Dict[str, np.ndarray], variables: Params
+) -> Params:
+    """Full reference `DenseCLIP` state_dict -> our composite variables.
+
+    Migrates a torch checkpoint of the ENTIRE reference model — towers,
+    vis/global projections, context decoder, fusion neck, seg/depth heads,
+    learnable contexts and gamma (reference denseclip.py:65-513) — into this
+    framework's `{'params', 'batch_stats'}` variables (shapes taken from an
+    existing `model.init` tree).  Layer counts and pos-embed geometry are
+    derived from the trees, so any preset works.
+
+    `state` is `{k: v.float().numpy() for k, v in model.state_dict().items()}`.
+    """
+    import jax
+
+    variables = jax.tree.map(np.asarray, dict(variables))
+    params: Params = variables["params"]
+    stats: Params = variables.setdefault("batch_stats", {})
+
+    # --- backbone (ViT): reuse the CLIP importer via the visual.* prefix ---
+    vit_layers = _count_indexed(state, "backbone.transformer.resblocks.{i}.")
+    vis_state = {
+        f"visual.{k[len('backbone.'):]}": v
+        for k, v in state.items()
+        if k.startswith("backbone.")
+    }
+    n_pos = params["backbone"]["positional_embedding"].shape[0]
+    base_grid = int(round((n_pos - 1) ** 0.5))
+    proj_tree = params["backbone"].get("proj")
+    vit = import_vit_params(
+        vis_state,
+        layers=vit_layers,
+        base_grid=base_grid,
+        clip_proj_dim=None if proj_tree is None else proj_tree.shape[1],
+    )
+    _merge_into(params["backbone"], vit)
+
+    # --- text tower ---
+    text_layers = _count_indexed(state, "text_encoder.transformer.resblocks.{i}.")
+    text_state = {
+        k[len("text_encoder."):]: v
+        for k, v in state.items()
+        if k.startswith("text_encoder.")
+    }
+    text = import_text_params(
+        text_state,
+        layers=text_layers,
+        context_length=params["text_encoder"]["positional_embedding"].shape[0],
+        embed_dim=params["text_encoder"]["text_projection"].shape[1],
+    )
+    _merge_into(params["text_encoder"], text)
+
+    # --- projections + learnable prompt (denseclip.py:195-200, 377-406) ---
+    if "vis_proj.weight" in state:
+        _merge_into(params["vis_proj"], _conv(state, "vis_proj"))
+        _merge_into(params["global_proj"], _linear(state, "global_proj"))
+    if "contexts" in state:
+        _merge_into(params, {"contexts": state["contexts"]})
+    if "gamma" in state:
+        _merge_into(params, {"gamma": state["gamma"]})
+
+    # --- context decoder / neck / heads ---
+    if any(k.startswith("context_decoder.") for k in state):
+        _merge_into(
+            params["context_decoder"], _context_decoder(state, "context_decoder")
+        )
+    if any(k.startswith("neck.") for k in state):
+        p, s = _fusion_neck(state, "neck")
+        _merge_into(params["neck"], p)
+        _merge_into(stats.setdefault("neck", {}), s)
+    for head in ("decode_head", "depth_head"):
+        if any(k.startswith(f"{head}.") for k in state):
+            p, s = _fcn_head(state, head)
+            _merge_into(params[head], p)
+            _merge_into(stats.setdefault(head, {}), s)
+    return variables
+
+
 def load_clip_into_denseclip(
     params: Params,
     clip_path: str,
