@@ -41,11 +41,14 @@ class AugmentConfig(NamedTuple):
     norm_mean: Tuple[float, float, float] = (0.48145466, 0.4578275, 0.40821073)
     norm_std: Tuple[float, float, float] = (0.26862954, 0.26130258, 0.27577711)
     ignore_index: int = 255
-    # ColorJitter half-ranges; 0 disables (reference get_transform's optional
-    # ColorJitter, train_denseclip.py:141-147).
+    # ColorJitter half-ranges; all-zero disables.  `color_jitter: true` in the
+    # data config maps to the reference's A.ColorJitter(0.4, 0.4, 0.4,
+    # hue=0.1, p=0.8) (reference train_denseclip.py:150-156).
     brightness: float = 0.0
     contrast: float = 0.0
     saturation: float = 0.0
+    hue: float = 0.0
+    color_jitter_prob: float = 1.0
 
 
 def normalize_image(
@@ -214,30 +217,98 @@ def _resample_nearest_mm(arr: jnp.ndarray, wy_nn, wx_nn, fill):
     return vals.astype(arr.dtype) if jnp.issubdtype(arr.dtype, jnp.floating) else jnp.round(vals).astype(arr.dtype)
 
 
+def _rgb_to_hsv(rgb: jnp.ndarray):
+    """[..., 3] RGB in [0, 1] -> (h, s, v), h in [0, 1)."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = jnp.max(rgb, axis=-1)
+    minc = jnp.min(rgb, axis=-1)
+    delta = maxc - minc
+    safe = jnp.maximum(delta, 1e-12)
+    s = jnp.where(maxc > 0, delta / jnp.maximum(maxc, 1e-12), 0.0)
+    rc = (maxc - r) / safe
+    gc = (maxc - g) / safe
+    bc = (maxc - b) / safe
+    h = jnp.where(
+        maxc == r, bc - gc, jnp.where(maxc == g, 2.0 + rc - bc, 4.0 + gc - rc)
+    )
+    h = jnp.where(delta > 0, (h / 6.0) % 1.0, 0.0)
+    return h, s, maxc
+
+
+def _hsv_to_rgb(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    i = jnp.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - f * s)
+    t = v * (1.0 - (1.0 - f) * s)
+    idx = i.astype(jnp.int32) % 6
+    sel = [idx == k for k in range(6)]
+    r = jnp.select(sel, [v, q, p, p, t, v])
+    g = jnp.select(sel, [t, v, v, q, p, p])
+    b = jnp.select(sel, [p, p, t, v, v, q])
+    return jnp.stack([r, g, b], axis=-1)
+
+
+_GRAY_WEIGHTS = (0.299, 0.587, 0.114)  # ITU-R 601, torchvision rgb_to_grayscale
+
+
+def _gray(img: jnp.ndarray) -> jnp.ndarray:
+    w = jnp.asarray(_GRAY_WEIGHTS, jnp.float32)
+    return jnp.sum(img * w, axis=-1, keepdims=True)
+
+
 def _color_jitter(
     key: jax.Array, img: jnp.ndarray, cfg: AugmentConfig
 ) -> jnp.ndarray:
-    """Brightness/contrast/saturation jitter on [0, 255] float RGB."""
-    if not (cfg.brightness or cfg.contrast or cfg.saturation):
+    """ColorJitter on [0, 255] float RGB with torchvision/albumentations
+    semantics (reference train_denseclip.py:150-156: A.ColorJitter(0.4, 0.4,
+    0.4, hue=0.1, p=0.8)):
+
+      * factors uniform in [max(0, 1-x), 1+x]; hue offset uniform [-hue, hue];
+      * contrast/saturation blend against the ITU-R 601 grayscale (mean for
+        contrast, per-pixel for saturation);
+      * the four ops are applied in RANDOM order;
+      * the whole jitter fires with probability `color_jitter_prob`.
+
+    Static no-op when every range is zero (keeps the common path trace-free).
+    """
+    if not (cfg.brightness or cfg.contrast or cfg.saturation or cfg.hue):
         return img
-    kb, kc, ks = jax.random.split(key, 3)
-    if cfg.brightness:
-        f = jax.random.uniform(
-            kb, (), jnp.float32, 1 - cfg.brightness, 1 + cfg.brightness
+    kb, kc, ks, kh, k_order, k_apply = jax.random.split(key, 6)
+
+    def factor(k, half):
+        return jax.random.uniform(
+            k, (), jnp.float32, max(0.0, 1.0 - half), 1.0 + half
         )
-        img = img * f
-    if cfg.contrast:
-        f = jax.random.uniform(
-            kc, (), jnp.float32, 1 - cfg.contrast, 1 + cfg.contrast
-        )
-        img = (img - jnp.mean(img)) * f + jnp.mean(img)
-    if cfg.saturation:
-        f = jax.random.uniform(
-            ks, (), jnp.float32, 1 - cfg.saturation, 1 + cfg.saturation
-        )
-        gray = jnp.mean(img, axis=-1, keepdims=True)
-        img = gray + (img - gray) * f
-    return jnp.clip(img, 0.0, 255.0)
+
+    fb = factor(kb, cfg.brightness)
+    fc = factor(kc, cfg.contrast)
+    fs = factor(ks, cfg.saturation)
+    fh = jax.random.uniform(kh, (), jnp.float32, -cfg.hue, cfg.hue)
+
+    def brightness(x):
+        return jnp.clip(x * fb, 0.0, 255.0)
+
+    def contrast(x):
+        m = jnp.mean(_gray(x))
+        return jnp.clip(fc * x + (1.0 - fc) * m, 0.0, 255.0)
+
+    def saturation(x):
+        return jnp.clip(fs * x + (1.0 - fs) * _gray(x), 0.0, 255.0)
+
+    def hue(x):
+        h, s, v = _rgb_to_hsv(x / 255.0)
+        return _hsv_to_rgb((h + fh) % 1.0, s, v) * 255.0
+
+    ops = (brightness, contrast, saturation, hue)
+    perm = jax.random.permutation(k_order, len(ops))
+
+    def body(t, x):
+        return jax.lax.switch(perm[t], ops, x)
+
+    jittered = jax.lax.fori_loop(0, len(ops), body, img)
+    apply = jax.random.bernoulli(k_apply, cfg.color_jitter_prob)
+    return jnp.where(apply, jittered, img)
 
 
 def augment_sample(
@@ -343,6 +414,10 @@ def augment_config_from_data_cfg(data_cfg, train: bool = True) -> AugmentConfig:
     get = data_cfg.get if hasattr(data_cfg, "get") else lambda k, d=None: d
     aug = get("augment", {}) or {}
     aug_get = aug.get if hasattr(aug, "get") else lambda k, d=None: d
+    # `color_jitter: true` switches on the reference defaults
+    # A.ColorJitter(brightness=0.4, contrast=0.4, saturation=0.4, hue=0.1,
+    # p=0.8) (train_denseclip.py:150-156); explicit augment.* keys override.
+    cj = bool(get("color_jitter", False)) and train
     return AugmentConfig(
         crop_size=tuple(get("crop_size", (512, 1024))),
         scale_range=tuple(get("scale_range", (0.5, 2.0))),
@@ -350,7 +425,9 @@ def augment_config_from_data_cfg(data_cfg, train: bool = True) -> AugmentConfig:
         norm_mean=tuple(get("norm_mean", AugmentConfig().norm_mean)),
         norm_std=tuple(get("norm_std", AugmentConfig().norm_std)),
         ignore_index=int(get("ignore_label", 255)),
-        brightness=float(aug_get("brightness", 0.0)) if train else 0.0,
-        contrast=float(aug_get("contrast", 0.0)) if train else 0.0,
-        saturation=float(aug_get("saturation", 0.0)) if train else 0.0,
+        brightness=float(aug_get("brightness", 0.4 if cj else 0.0)) if train else 0.0,
+        contrast=float(aug_get("contrast", 0.4 if cj else 0.0)) if train else 0.0,
+        saturation=float(aug_get("saturation", 0.4 if cj else 0.0)) if train else 0.0,
+        hue=float(aug_get("hue", 0.1 if cj else 0.0)) if train else 0.0,
+        color_jitter_prob=float(aug_get("color_jitter_prob", 0.8 if cj else 1.0)),
     )
