@@ -280,6 +280,13 @@ def train(cfg, work_dir: str, resume: Optional[str] = None,
 
     steps_per_epoch = max(len(train_loader), 1)
     epochs = int(training_cfg.get("epochs", 100))
+    iters = training_cfg.get("iters")
+    if iters:
+        # iteration-based schedule (mmseg heritage, schedule_{20k..160k}):
+        # run ceil(iters / steps_per_epoch) epochs, capped at `iters` steps.
+        iters = int(iters)
+        epochs = max(1, -(-iters // steps_per_epoch))
+        max_steps = iters if not max_steps else min(int(max_steps), iters)
 
     # --- model ---
     class_names = class_names_for(data_cfg)

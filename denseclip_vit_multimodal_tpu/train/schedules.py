@@ -83,14 +83,20 @@ def build_schedule(
             t_max_epochs=int(sget("T_max", get("epochs", 100))),
             eta_min=float(sget("eta_min", 0.0)),
         )
-    if stype in ("PolyWarmup", "poly"):
+    if stype in ("PolyWarmup", "PolyLR", "poly"):
         if total_steps is None:
-            total_steps = steps_per_epoch * int(get("epochs", 100))
+            # iteration-based presets (schedule_{20k,40k,80k,160k}) carry
+            # `training.iters`; epoch presets fall back to epochs x steps.
+            iters = get("iters")
+            total_steps = (
+                int(iters) if iters else steps_per_epoch * int(get("epochs", 100))
+            )
+        warmup = sget("warmup_steps", sget("warmup_iters", 1500))
         return poly_with_warmup(
             base_lr,
             total_steps=int(sget("total_steps", total_steps)),
             power=float(sget("power", 0.9)),
-            warmup_steps=int(sget("warmup_steps", 1500)),
+            warmup_steps=int(warmup),
             warmup_ratio=float(sget("warmup_ratio", 1e-6)),
             min_lr=float(sget("min_lr", 0.0)),
         )

@@ -125,6 +125,23 @@ def build_optimizer(
     return optax.multi_transform(transforms, labels)
 
 
+def _lr_mults_from_cfg(get) -> Optional[Dict[str, float]]:
+    """Per-module LR multipliers from either config schema.
+
+    `lr_mults: {backbone: 0.1}` (our native form) or the mmseg-heritage
+    `paramwise: {backbone_lr_mult: 0.1, text_encoder_lr_mult: 0.0}`
+    (reference denseclip_fpn_vit-b_640x640_80k.py:53-63 paramwise_cfg).
+    """
+    mults = dict(get("lr_mults", None) or {})
+    paramwise = get("paramwise", None) or {}
+    pget = paramwise.get if hasattr(paramwise, "get") else dict(paramwise).get
+    for key in ("backbone", "text_encoder"):
+        v = pget(f"{key}_lr_mult", None)
+        if v is not None:
+            mults.setdefault(key, float(v))
+    return {k: float(v) for k, v in mults.items()} or None
+
+
 def create_train_state(
     model,
     variables: Mapping[str, Any],
@@ -150,7 +167,7 @@ def create_train_state(
         eps=float(oget("eps", 1e-8)),
         clip_grad_norm=get("clip_grad_norm", None),
         frozen_modules=frozen_modules,
-        lr_mults=get("lr_mults", None),
+        lr_mults=_lr_mults_from_cfg(get),
     )
     return TrainState(
         step=jnp.zeros((), jnp.int32),
