@@ -17,7 +17,6 @@ keyed on static shapes replaces torch's dynamic re-tracing.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
@@ -65,27 +64,89 @@ class Inferencer:
             self._jit_cache[key] = jax.jit(run)
         return self._jit_cache[key]
 
+    def _forward_logits(self, variables, image, texts, mode, crop, stride,
+                        window_batch):
+        """Traceable seg/depth forward for either mode.
+
+        Returns (seg [B, H, W, K] fp32, depth [B, H, W, 1] fp32 or None) at
+        the input spatial size.
+        """
+        if mode == "whole":
+            out = self.model.apply(variables, image, texts, train=False)
+            seg = out["seg"].astype(jnp.float32)
+            depth = out.get("depth")
+            depth = None if depth is None else depth.astype(jnp.float32)
+            return seg, depth
+        if mode != "slide":
+            raise ValueError(f"Unknown inference mode: {mode}")
+        n_out = self.num_classes + (1 if self.with_depth else 0)
+
+        def window_forward(windows):
+            out = self.model.apply(variables, windows, texts, train=False)
+            parts = [out["seg"]]
+            if self.with_depth and out.get("depth") is not None:
+                parts.append(out["depth"])
+            return jnp.concatenate(
+                [p.astype(jnp.float32) for p in parts], axis=-1
+            )
+
+        fused = slide_inference(
+            window_forward, image, n_out, crop=crop, stride=stride,
+            window_batch=window_batch,
+        )
+        seg = fused[..., : self.num_classes]
+        depth = fused[..., self.num_classes :] if self.with_depth else None
+        return seg, depth
+
     def _slide_fn(self, crop: Tuple[int, int], stride: Tuple[int, int],
                   window_batch: int):
         key = ("slide", crop, stride, window_batch)
         if key not in self._jit_cache:
-            n_out = self.num_classes + (1 if self.with_depth else 0)
-
-            def window_forward(variables, texts, windows):
-                out = self.model.apply(variables, windows, texts, train=False)
-                parts = [out["seg"]]
-                if self.with_depth and out.get("depth") is not None:
-                    parts.append(out["depth"])
-                return jnp.concatenate(
-                    [p.astype(jnp.float32) for p in parts], axis=-1
-                )
 
             def run(variables, image, texts):
-                fwd = functools.partial(window_forward, variables, texts)
-                return slide_inference(
-                    fwd, image, n_out, crop=crop, stride=stride,
-                    window_batch=window_batch,
+                return self._forward_logits(
+                    variables, image, texts, "slide", crop, stride,
+                    window_batch,
                 )
+
+            self._jit_cache[key] = jax.jit(run)
+        return self._jit_cache[key]
+
+    def _aug_view_fn(self, scaled_hw: Tuple[int, int], out_hw: Tuple[int, int],
+                     flip: bool, mode: str, crop: Tuple[int, int],
+                     stride: Tuple[int, int], window_batch: int):
+        """One compiled program per scale: resize -> forward BOTH views (the
+        flipped view rides the batch dim, so one forward feeds the MXU 2B
+        windows) -> unflip -> upsample to `out_hw` -> sum.  No host round
+        trips (reference aug_test loops single views through numpy,
+        denseclip.py:1005-1041 + test.py:91-96)."""
+        key = ("aug", scaled_hw, out_hw, flip, mode, crop, stride, window_batch)
+        if key not in self._jit_cache:
+
+            def run(variables, image0, texts):
+                b = image0.shape[0]
+                sh, sw = scaled_hw
+                scaled = jax.image.resize(
+                    image0, (b, sh, sw, 3), method="bilinear"
+                )
+                batch = (
+                    jnp.concatenate([scaled, jnp.flip(scaled, axis=2)], axis=0)
+                    if flip
+                    else scaled
+                )
+                seg, depth = self._forward_logits(
+                    variables, batch, texts, mode, crop, stride, window_batch
+                )
+
+                def fold(x):
+                    if flip:
+                        x = x[:b] + jnp.flip(x[b:], axis=2)
+                    return jax.image.resize(
+                        x, (b, out_hw[0], out_hw[1], x.shape[-1]),
+                        method="bilinear",
+                    )
+
+                return fold(seg), None if depth is None else fold(depth)
 
             self._jit_cache[key] = jax.jit(run)
         return self._jit_cache[key]
@@ -114,13 +175,9 @@ class Inferencer:
                 self.variables, image, self.texts
             )
         elif mode == "slide":
-            fused = self._slide_fn(tuple(crop), tuple(stride), window_batch)(
-                self.variables, image, self.texts
-            )
-            seg_logits = fused[..., : self.num_classes]
-            depth = (
-                fused[..., self.num_classes :] if self.with_depth else None
-            )
+            seg_logits, depth = self._slide_fn(
+                tuple(crop), tuple(stride), window_batch
+            )(self.variables, image, self.texts)
         else:
             raise ValueError(f"Unknown inference mode: {mode}")
         out = {
@@ -137,11 +194,19 @@ class Inferencer:
         scales: Sequence[float] = (0.5, 0.75, 1.0, 1.25, 1.5, 1.75),
         flip: bool = True,
         mode: str = "whole",
-        **kwargs,
+        crop: Tuple[int, int] = (640, 640),
+        stride: Tuple[int, int] = (426, 426),
+        window_batch: int = 0,
     ) -> Dict[str, np.ndarray]:
         """Multi-scale + flip test: average fp32 logits at original size
         (reference aug_test, denseclip.py:1005-1041; scale set from
-        test.py:91-96)."""
+        test.py:91-96).
+
+        Device-side end to end: one compiled program per scale computes both
+        flip views in a single forward and returns the already-unflipped,
+        upsampled logit sum; scale sums accumulate on device and the host
+        fetches ONE final array per output.
+        """
         b, h, w, _ = images.shape
         image0 = self.preprocess(images)
         acc_seg = None
@@ -154,26 +219,17 @@ class Inferencer:
         for s in scales:
             sh = max(int(round(h * s / patch)) * patch, patch)
             sw = max(int(round(w * s / patch)) * patch, patch)
-            scaled = jax.image.resize(
-                image0, (b, sh, sw, 3), method="bilinear"
+            fn = self._aug_view_fn(
+                (sh, sw), (h, w), flip, mode, tuple(crop), tuple(stride),
+                window_batch,
             )
-            views = [scaled] + ([jnp.flip(scaled, axis=2)] if flip else [])
-            for vi, view in enumerate(views):
-                out = self.predict(
-                    view, mode=mode, preprocessed=True, **kwargs
+            seg_sum, depth_sum = fn(self.variables, image0, self.texts)
+            acc_seg = seg_sum if acc_seg is None else acc_seg + seg_sum
+            if depth_sum is not None:
+                acc_depth = (
+                    depth_sum if acc_depth is None else acc_depth + depth_sum
                 )
-                seg = jnp.asarray(out["seg_logits"])
-                if vi == 1:
-                    seg = jnp.flip(seg, axis=2)
-                seg = jax.image.resize(seg, (b, h, w, seg.shape[-1]), method="bilinear")
-                acc_seg = seg if acc_seg is None else acc_seg + seg
-                if "depth" in out:
-                    d = jnp.asarray(out["depth"])
-                    if vi == 1:
-                        d = jnp.flip(d, axis=2)
-                    d = jax.image.resize(d, (b, h, w), method="bilinear")
-                    acc_depth = d if acc_depth is None else acc_depth + d
-                n += 1
+            n += 2 if flip else 1
 
         seg_logits = acc_seg / n
         result = {
@@ -181,5 +237,5 @@ class Inferencer:
             "seg": np.asarray(jnp.argmax(seg_logits, axis=-1), np.int32),
         }
         if acc_depth is not None:
-            result["depth"] = np.asarray(acc_depth / n, np.float32)
+            result["depth"] = np.asarray(acc_depth / n, np.float32)[..., 0]
         return result

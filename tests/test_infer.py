@@ -113,6 +113,58 @@ def test_aug_test_averages(tiny_inferencer):
     assert np.isfinite(out["seg_logits"]).all()
 
 
+def test_aug_test_matches_manual_view_average(tiny_inferencer):
+    """Device-side aug_test == the per-view predict/flip/resize average the
+    reference computes on the host (denseclip.py:1005-1041)."""
+    imgs = np.random.RandomState(4).randint(0, 255, (1, 32, 64, 3), dtype=np.uint8)
+    scales = (1.0, 1.5)
+    out = tiny_inferencer.aug_test(imgs, scales=scales, flip=True)
+
+    b, h, w = 1, 32, 64
+    image0 = tiny_inferencer.preprocess(imgs)
+    acc, n = 0.0, 0
+    patch = int(tiny_inferencer.model.backbone.patch_size)
+    for s in scales:
+        sh = max(int(round(h * s / patch)) * patch, patch)
+        sw = max(int(round(w * s / patch)) * patch, patch)
+        scaled = jax.image.resize(image0, (b, sh, sw, 3), method="bilinear")
+        for flipped in (False, True):
+            view = jnp.flip(scaled, axis=2) if flipped else scaled
+            seg = jnp.asarray(
+                tiny_inferencer.predict(view, preprocessed=True)["seg_logits"]
+            )
+            if flipped:
+                seg = jnp.flip(seg, axis=2)
+            acc = acc + jax.image.resize(seg, (b, h, w, 19), method="bilinear")
+            n += 1
+    np.testing.assert_allclose(
+        out["seg_logits"], np.asarray(acc / n), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_aug_test_no_host_round_trips(tiny_inferencer, monkeypatch):
+    """aug_test must not route views through predict (which fetches numpy);
+    the whole multi-view average stays on device until the final fetch."""
+    def boom(*a, **k):
+        raise AssertionError("aug_test called predict (host round trip)")
+
+    monkeypatch.setattr(tiny_inferencer, "predict", boom)
+    imgs = np.random.RandomState(5).randint(0, 255, (1, 32, 64, 3), dtype=np.uint8)
+    out = tiny_inferencer.aug_test(imgs, scales=(1.0,), flip=True)
+    assert out["seg_logits"].shape == (1, 32, 64, 19)
+
+
+def test_aug_test_slide_mode(tiny_inferencer):
+    imgs = np.random.RandomState(6).randint(0, 255, (1, 64, 128, 3), dtype=np.uint8)
+    out = tiny_inferencer.aug_test(
+        imgs, scales=(0.5, 1.0), flip=True, mode="slide",
+        crop=(32, 64), stride=(16, 48),
+    )
+    assert out["seg_logits"].shape == (1, 64, 128, 19)
+    assert out["depth"].shape == (1, 64, 128)
+    assert np.isfinite(out["seg_logits"]).all()
+
+
 def test_graft_entry_dryrun_multichip():
     import importlib.util, os
 

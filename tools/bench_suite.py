@@ -6,7 +6,8 @@ Workloads (BASELINE.md / driver configs):
   2. slide_1024x2048                  — full-frame slide inference, batch 1
   3. multitask_batched_inference      — joint seg+depth, batched whole-frame
   4. train_step_frozen_text_batch16   — training step, batch 16
-  5. (ViT-L data-parallel: run with --config denseclip_vitl14_... on a pod)
+  5. aug_test_slide_3scale_flip       — multi-scale+flip slide aug_test
+  (ViT-L: run with --config configs/denseclip_vitl14_cityscapes_multitask.yaml)
 
 All timings use the device-side fori_loop methodology (see bench.py): this
 environment dispatches through a relay where host-side timing lies.
@@ -53,7 +54,7 @@ def device_loop_time(fn, args, iters: int) -> float:
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="configs/denseclip_vitb16_cityscapes_multitask.yaml")
-    p.add_argument("--workloads", type=int, nargs="*", default=[1, 2, 3, 4])
+    p.add_argument("--workloads", type=int, nargs="*", default=[1, 2, 3, 4, 5])
     p.add_argument("--iters", type=int, default=8)
     args = p.parse_args(argv)
 
@@ -142,6 +143,40 @@ def main(argv=None):
         float(metrics["loss_total"])  # sync via scalar fetch
         dt = (time.perf_counter() - t0) / iters
         emit("train_step_frozen_text_batch16", b / dt, "samples/sec")
+
+    if 5 in args.workloads:
+        from denseclip_vit_multimodal_tpu.infer.engine import Inferencer
+
+        infer = Inferencer(
+            model, variables, texts, num_classes=19, with_depth=True
+        )
+        h, w = 1024, 2048
+        scales = (0.5, 0.75, 1.0)
+        patch = int(cfg.model.backbone.get("patch_size", 16))
+        fns = []
+        for s in scales:
+            sh = max(int(round(h * s / patch)) * patch, patch)
+            sw = max(int(round(w * s / patch)) * patch, patch)
+            fns.append(
+                infer._aug_view_fn(
+                    (sh, sw), (h, w), True, "slide", (640, 640), (426, 426), 0
+                )
+            )
+
+        # All per-scale programs composed into ONE device program so the
+        # device-loop timing methodology applies (no per-view dispatches).
+        def aug_full(v, img0, tx):
+            acc = None
+            for fn in fns:
+                seg_sum, _ = fn(v, img0, tx)
+                acc = seg_sum if acc is None else acc + seg_sum
+            return acc / (2.0 * len(fns))
+
+        img0 = jnp.zeros((1, h, w, 3), jnp.float32)
+        dt = device_loop_time(
+            aug_full, (variables, img0, texts_j), max(args.iters // 4, 2)
+        )
+        emit("aug_test_slide_3scale_flip_1024x2048", 1.0 / dt, "images/sec")
 
     with open("bench_suite_results.json", "w") as f:
         json.dump(results, f, indent=1)
