@@ -18,21 +18,31 @@ Grid: (B*H, N/block_q) with the K/V block constant along the inner axis, so
 Mosaic keeps K/V resident in VMEM across q-tiles instead of re-DMAing.
 Padding to the 128-lane boundary is masked with -inf columns in-kernel.
 
-Backward: a custom VJP recomputes gradients through the plain XLA attention
-(exact same math) — with the frozen-tower training recipe the ViT backward
-is dead-code anyway (see ops/attention.py), so this path only runs if a
-user unfreezes the backbone.
+Backward: a Pallas kernel in the same one-shot formulation — recompute S and
+the exact softmax from q/k/v (the full row fits VMEM, so no lse residual),
+dP = dO V^T, D = rowsum(P ∘ dP), dS = P ∘ (dP − D), then dQ/dK/dV as three
+MXU contractions with dK/dV accumulated in VMEM-resident fp32 output blocks
+across q-tiles.  O(N) memory — the shipped heritage recipe (backbone lr x0.1)
+trains without the O(N^2) score materialization the round-1 XLA-recompute
+VJP paid.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 _LANE = 128
+# Optionally run the softmax exp pass in bf16.  Measured on v5e: NO speedup
+# over fp32 exp (the VPU does not pack bf16 transcendentals; 1.97 vs 1.95
+# ms at the slide shape) and a small accuracy cost, so default OFF.  The
+# division-by-denominator is deferred to the [bq, D] output unconditionally
+# (2.10 -> 1.95 ms: one fewer full VPU pass over the score tile).
+_EXP_BF16 = os.environ.get("DENSECLIP_EXP_BF16", "0") == "1"
 _LOG2E = 1.4426950408889634  # softmax via exp2: scale*log2(e) folds into QK
 # Budget for the fp32 score tile in VMEM.  Half the 16 MB/core: the softmax
 # chain can hold a second score-sized temporary (exp / mask iota) alive, and
@@ -75,7 +85,27 @@ def _xla_reference(q, k, v, scale, valid_len=None):
     return jnp.einsum("bnm,bmd->bnd", p, v)
 
 
-def _kernel(n_real: int, scale: float, q_ref, k_ref, v_ref, o_ref):
+def _softmax_unnormalized(s: jnp.ndarray, n_real: int, p_dtype):
+    """Masked, max-shifted exp2 WITHOUT the normalizing division.
+
+    Returns (p, denom): the [bq, N] division is deferred to the [bq, D]
+    output (o / denom) — one full VPU pass over the score tile saved.
+    With `p_dtype` bf16 the exp pass runs on packed bf16 lanes (2x VPU
+    throughput); p feeds the PV matmul in bf16 anyway, so only the
+    denominator accumulation changes, and that stays fp32.
+    """
+    n_pad = s.shape[-1]
+    if n_pad != n_real:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n_real, s, jnp.finfo(jnp.float32).min)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp2((s - m).astype(p_dtype))
+    denom = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+    return p, denom
+
+
+def _kernel(n_real: int, scale: float, exp_bf16: bool, q_ref, k_ref, v_ref,
+            o_ref):
     q = q_ref[0, 0]  # [bq, D]
     k = k_ref[0, 0]  # [Np, D]
     v = v_ref[0, 0]
@@ -83,18 +113,17 @@ def _kernel(n_real: int, scale: float, q_ref, k_ref, v_ref, o_ref):
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * (scale * _LOG2E)  # [bq, Np] fp32
-    n_pad = s.shape[-1]
-    if n_pad != n_real:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col < n_real, s, jnp.finfo(jnp.float32).min)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp2(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / denom).astype(q.dtype)
-    o = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    # bf16 exp only when the compute dtype is already bf16 (p feeds the PV
+    # matmul in q.dtype regardless); fp32 inputs keep the exact fp32 exp.
+    p, denom = _softmax_unnormalized(
+        s, n_real,
+        jnp.bfloat16 if (exp_bf16 and q.dtype == jnp.bfloat16) else jnp.float32,
     )
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+    o = jax.lax.dot_general(
+        p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0, 0] = (o / denom).astype(o_ref.dtype)
 
 
 def _mha_fwd_impl(
@@ -122,7 +151,7 @@ def _mha_fwd_impl(
     grid = (b, h, n_pad // bq)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, real_n, scale),
+        functools.partial(_kernel, real_n, scale, _EXP_BF16),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, bq, d), lambda i, hh, j: (i, hh, j, 0)),
@@ -134,6 +163,102 @@ def _mha_fwd_impl(
         interpret=interpret,
     )(q, k, v)
     return out[:, :, :n, :]
+
+
+# ---------------------------------------------------------------------------
+# Pallas backward: flash-style dq/dk/dv in the one-shot regime.  Recomputes
+# S and the exact softmax from the residual q/k/v (no lse residual needed:
+# the full row fits VMEM), then uses the identity
+#     D_i = rowsum(dO ∘ O)_i = rowsum(P ∘ dP)_i
+# so O need not be saved either.  dK/dV accumulate in fp32 output blocks
+# that stay VMEM-resident across q-tiles (index constant in the inner grid
+# axis).  This replaces the round-1 XLA-recompute VJP, whose full [N, N]
+# score materialization made the shipped heritage recipe (backbone lr x0.1,
+# reference denseclip_fpn_vit-b_640x640_80k.py:53-63) pay O(N^2) HBM in
+# memory and time on every step.
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(n_real: int, scale: float, q_ref, k_ref, v_ref, do_ref,
+                dq_ref, dk_ref, dv_ref):
+    from jax.experimental import pallas as pl
+
+    j = pl.program_id(2)
+    q = q_ref[0, 0]  # [bq, D]
+    k = k_ref[0, 0]  # [Np, D]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]  # [bq, D]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * (scale * _LOG2E)
+    n_pad = s.shape[-1]
+    if n_pad != n_real:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n_real, s, jnp.finfo(jnp.float32).min)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp2(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)  # exact softmax, fp32
+
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, Np]
+    dcoef = jnp.sum(p * dp, axis=-1, keepdims=True)  # rowsum(P ∘ dP) == D
+    ds = (p * (dp - dcoef) * scale).astype(q.dtype)  # natural-log scale
+    pc = p.astype(q.dtype)
+
+    dq_ref[0, 0] = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    # contract over the q-tile rows: ds^T @ q, p^T @ do
+    dk_j = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dv_j = jax.lax.dot_general(
+        pc, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == 0)
+    def _():
+        dk_ref[0, 0] = dk_j
+        dv_ref[0, 0] = dv_j
+
+    @pl.when(j != 0)
+    def _():
+        dk_ref[0, 0] += dk_j
+        dv_ref[0, 0] += dv_j
+
+
+def _mha_bwd_pallas(q, k, v, do, scale, block_q, interpret, valid_len):
+    """dq/dk/dv for [B, H, N, D] inputs via the one-shot backward kernel."""
+    from jax.experimental import pallas as pl
+
+    b, h, n, d = q.shape
+    real_n = valid_len if valid_len is not None else n
+    n_pad = -(-n // _LANE) * _LANE
+    if n_pad != n:
+        pad = ((0, 0), (0, 0), (0, n_pad - n), (0, 0))
+        q, k, v, do = (jnp.pad(x, pad) for x in (q, k, v, do))
+    # three fp32 score-sized temporaries live at once (s/p, dp, ds)
+    bq = _pick_block_q(n_pad, block_q, score_bufs=3)
+    grid = (b, h, n_pad // bq)
+
+    tile = lambda: pl.BlockSpec((1, 1, bq, d), lambda i, hh, j: (i, hh, j, 0))
+    full = lambda: pl.BlockSpec((1, 1, n_pad, d), lambda i, hh, j: (i, hh, 0, 0))
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, real_n, scale),
+        grid=grid,
+        in_specs=[tile(), full(), full(), tile()],
+        out_specs=[tile(), full(), full()],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, n_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, n_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, n_pad, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, do)
+    trim = lambda x: x[:, :, :n, :]
+    return trim(dq), trim(dk), trim(dv)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -150,16 +275,10 @@ def _mha_fwd(q, k, v, scale, block_q, interpret, valid_len):
 
 def _mha_bwd(scale, block_q, interpret, valid_len, residuals, g):
     q, k, v = residuals
-
-    def ref(q, k, v):
-        b, h, n, d = q.shape
-        bh = lambda x: x.reshape(b * h, n, d)
-        return _xla_reference(
-            bh(q), bh(k), bh(v), scale, valid_len
-        ).reshape(b, h, n, d)
-
-    _, vjp = jax.vjp(ref, q, k, v)
-    return vjp(g)
+    dq, dk, dv = _mha_bwd_pallas(
+        q, k, v, g.astype(q.dtype), scale, block_q, interpret, valid_len
+    )
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 
 _mha.defvjp(_mha_fwd, _mha_bwd)
@@ -196,7 +315,7 @@ def mha_attention(
 
 
 def _qkv_kernel(n_real: int, scale: float, heads_per_block: int,
-                q_ref, k_ref, v_ref, o_ref):
+                exp_bf16: bool, q_ref, k_ref, v_ref, o_ref):
     d = q_ref.shape[-1] // heads_per_block
     for h in range(heads_per_block):
         lo = h * d
@@ -206,17 +325,17 @@ def _qkv_kernel(n_real: int, scale: float, heads_per_block: int,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * (scale * _LOG2E)
-        n_pad = s.shape[-1]
-        if n_pad != n_real:
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col < n_real, s, jnp.finfo(jnp.float32).min)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp2(s - m)
-        p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(q.dtype)
-        o = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        p, denom = _softmax_unnormalized(
+            s, n_real,
+            jnp.bfloat16
+            if (exp_bf16 and q.dtype == jnp.bfloat16)
+            else jnp.float32,
         )
-        o_ref[0, :, lo : lo + d] = o.astype(o_ref.dtype)
+        o = jax.lax.dot_general(
+            p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, lo : lo + d] = (o / denom).astype(o_ref.dtype)
 
 
 def _qkv_fwd_impl(qkv, num_heads, scale, block_q, interpret, valid_len=None):
@@ -244,7 +363,7 @@ def _qkv_fwd_impl(qkv, num_heads, scale, block_q, interpret, valid_len=None):
         (1, n_pad, lane_block), lambda i, hh, j: (i, 0, 2 * n_lane_blocks + hh)
     )
     out = pl.pallas_call(
-        functools.partial(_qkv_kernel, real_n, scale, heads_per_block),
+        functools.partial(_qkv_kernel, real_n, scale, heads_per_block, _EXP_BF16),
         grid=grid,
         in_specs=[q_spec, k_spec, v_spec],
         out_specs=pl.BlockSpec((1, bq, lane_block), lambda i, hh, j: (i, j, hh)),
@@ -279,9 +398,24 @@ def _qkv_fwd(qkv, num_heads, scale, block_q, interpret, valid_len):
 
 
 def _qkv_bwd(num_heads, scale, block_q, interpret, valid_len, residuals, g):
+    """Pallas backward for the qkv-direct forward.
+
+    Head split/merge transposes are O(N*D) passes — noise next to the
+    O(N^2) matmuls — so the backward reuses the [B, H, N, D] kernel.
+    """
     (qkv,) = residuals
-    _, vjp = jax.vjp(lambda x: _qkv_ref(x, num_heads, scale, valid_len), qkv)
-    return vjp(g)
+    b, n, three_hd = qkv.shape
+    hd = three_hd // 3
+    d = hd // num_heads
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    to_bhnd = lambda x: jnp.swapaxes(x.reshape(b, n, num_heads, d), 1, 2)
+    dq, dk, dv = _mha_bwd_pallas(
+        to_bhnd(q), to_bhnd(k), to_bhnd(v), to_bhnd(g.astype(qkv.dtype)),
+        scale, block_q, interpret, valid_len,
+    )
+    back = lambda x: jnp.swapaxes(x, 1, 2).reshape(b, n, hd)
+    dqkv = jnp.concatenate([back(dq), back(dk), back(dv)], axis=-1)
+    return (dqkv.astype(qkv.dtype),)
 
 
 _qkv_mha.defvjp(_qkv_fwd, _qkv_bwd)

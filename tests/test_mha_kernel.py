@@ -63,3 +63,108 @@ def test_kernel_custom_vjp():
     np.testing.assert_allclose(
         np.asarray(g_kernel), np.asarray(g_ref), rtol=2e-4, atol=2e-5
     )
+
+
+def test_kernel_bf16_exp_path_close():
+    """bf16 inputs take the packed-bf16 exp pass; output must stay within
+    bf16-level tolerance of the fp32 reference."""
+    rng = jax.random.PRNGKey(7)
+    kq, kk, kv = jax.random.split(rng, 3)
+    shape = (2, 256, 3, 64)
+    q = jax.random.normal(kq, shape, jnp.float32)
+    k = jax.random.normal(kk, shape, jnp.float32)
+    v = jax.random.normal(kv, shape, jnp.float32)
+    out = mha_attention(
+        q.astype(jnp.bfloat16),
+        k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16),
+        interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(_ref(q, k, v)),
+        rtol=5e-2, atol=3e-2,
+    )
+
+
+def test_qkv_kernel_bf16_exp_path_close():
+    from denseclip_vit_multimodal_tpu.ops.mha_kernel import (
+        _qkv_ref,
+        mha_qkv_attention,
+    )
+
+    qkv = jax.random.normal(jax.random.PRNGKey(9), (2, 200, 3 * 128), jnp.float32)
+    out = mha_qkv_attention(qkv.astype(jnp.bfloat16), 2, interpret=True)
+    ref = _qkv_ref(qkv, 2, 64**-0.5)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), rtol=5e-2, atol=3e-2
+    )
+
+
+def test_qkv_kernel_pallas_backward_parity():
+    """Pallas dqkv == XLA-reference VJP (fp32, incl. padding + masking)."""
+    from denseclip_vit_multimodal_tpu.ops.mha_kernel import (
+        _qkv_mha,
+        _qkv_ref,
+    )
+
+    heads, n, hd = 2, 200, 128  # n pads to 256; head_dim 64
+    qkv = jax.random.normal(jax.random.PRNGKey(11), (2, n, 3 * hd), jnp.float32)
+    scale = 64**-0.5
+
+    def loss_kernel(x):
+        return jnp.sum(jnp.sin(_qkv_mha(x, heads, scale, 0, True, None)))
+
+    def loss_ref(x):
+        return jnp.sum(jnp.sin(_qkv_ref(x, heads, scale)))
+
+    g_kernel = jax.grad(loss_kernel)(qkv)
+    g_ref = jax.grad(loss_ref)(qkv)
+    np.testing.assert_allclose(
+        np.asarray(g_kernel), np.asarray(g_ref), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_qkv_kernel_backward_valid_len_masking():
+    """Masked key positions must receive zero dk/dv."""
+    from denseclip_vit_multimodal_tpu.ops.mha_kernel import _qkv_mha, _qkv_ref
+
+    heads, n, hd, valid = 2, 128, 128, 100
+    qkv = jax.random.normal(jax.random.PRNGKey(13), (1, n, 3 * hd), jnp.float32)
+    scale = 64**-0.5
+
+    g = jax.grad(
+        lambda x: jnp.sum(_qkv_mha(x, heads, scale, 0, True, valid) ** 2)
+    )(qkv)
+    g_ref = jax.grad(
+        lambda x: jnp.sum(_qkv_ref(x, heads, scale, valid) ** 2)
+    )(qkv)
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(g_ref), rtol=2e-4, atol=2e-5
+    )
+    # dk/dv beyond valid_len are exactly zero (masked columns)
+    dk = np.asarray(g)[:, valid:, hd : 2 * hd]
+    dv = np.asarray(g)[:, valid:, 2 * hd :]
+    assert np.abs(dk).max() == 0.0
+    assert np.abs(dv).max() == 0.0
+
+
+def test_bhnd_kernel_backward_bf16_close():
+    q = jax.random.normal(jax.random.PRNGKey(17), (1, 256, 4, 64), jnp.float32)
+    loss = lambda f: (lambda x: jnp.sum(f(x) ** 2))
+    g16 = jax.grad(
+        lambda x: jnp.sum(
+            mha_attention(
+                x.astype(jnp.bfloat16),
+                x.astype(jnp.bfloat16),
+                x.astype(jnp.bfloat16),
+                interpret=True,
+            ).astype(jnp.float32)
+            ** 2
+        )
+    )(q)
+    g32 = jax.grad(
+        lambda x: jnp.sum(_ref(x, x, x) ** 2)
+    )(q)
+    np.testing.assert_allclose(
+        np.asarray(g16), np.asarray(g32), rtol=6e-2, atol=6e-2
+    )
