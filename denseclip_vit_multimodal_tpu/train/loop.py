@@ -349,6 +349,10 @@ def train(cfg, work_dir: str, resume: Optional[str] = None,
     schedule = build_schedule(training_cfg, steps_per_epoch)
     lw = training_cfg.get("loss_weights", {}) or {}
     silog_cfg = training_cfg.get("silog_loss", {}) or {}
+    from denseclip_vit_multimodal_tpu.train.state import frozen_modules_from_cfg
+
+    frozen = frozen_modules_from_cfg(training_cfg)
+    logger.info("frozen modules: %s", list(frozen))
     train_step = make_train_step(
         texts,
         aug_cfg,
@@ -357,6 +361,7 @@ def train(cfg, work_dir: str, resume: Optional[str] = None,
         silog_eps=float(silog_cfg.get("eps", 1e-6)),
         grad_accum_steps=int(training_cfg.get("grad_accum_steps", 1)),
         schedule=schedule,
+        frozen_modules=frozen,
     )
     eval_cfg = augment_config_from_data_cfg(data_cfg, train=False)
     eval_step = make_eval_step(

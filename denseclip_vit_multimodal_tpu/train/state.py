@@ -142,20 +142,48 @@ def _lr_mults_from_cfg(get) -> Optional[Dict[str, float]]:
     return {k: float(v) for k, v in mults.items()} or None
 
 
+def frozen_modules_from_cfg(
+    training_cfg,
+    default: Tuple[str, ...] = DEFAULT_FROZEN_MODULES,
+) -> Tuple[str, ...]:
+    """Frozen-module set implied by the config's LR multipliers.
+
+    The reference heritage recipe trains the backbone at lr x0.1 with the
+    text tower at lr x0 (denseclip_fpn_vit-b_640x640_80k.py:53-63).  A
+    module given a POSITIVE lr mult must therefore be unfrozen; a mult of
+    exactly 0 is true freezing (zero updates, no optimizer state).
+    """
+    get = training_cfg.get if hasattr(training_cfg, "get") else dict(training_cfg).get
+    frozen = set(default)
+    for name, mult in (_lr_mults_from_cfg(get) or {}).items():
+        if float(mult) > 0.0:
+            frozen.discard(name)
+        else:
+            frozen.add(name)
+    return tuple(sorted(frozen))
+
+
 def create_train_state(
     model,
     variables: Mapping[str, Any],
     training_cfg,
     steps_per_epoch: int,
-    frozen_modules: Tuple[str, ...] = DEFAULT_FROZEN_MODULES,
+    frozen_modules: Optional[Tuple[str, ...]] = None,
 ) -> TrainState:
-    """TrainState from init variables + the `training:` config section."""
+    """TrainState from init variables + the `training:` config section.
+
+    `frozen_modules` defaults to the config-implied set (see
+    `frozen_modules_from_cfg`): the CLIP towers frozen, unless the config
+    assigns a positive lr mult (heritage backbone-lr x0.1 recipe).
+    """
     from denseclip_vit_multimodal_tpu.train.schedules import build_schedule
 
     get = training_cfg.get if hasattr(training_cfg, "get") else dict(training_cfg).get
     opt_cfg = get("optimizer", {}) or {}
     oget = opt_cfg.get if hasattr(opt_cfg, "get") else dict(opt_cfg).get
 
+    if frozen_modules is None:
+        frozen_modules = frozen_modules_from_cfg(training_cfg)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
     schedule = build_schedule(training_cfg, steps_per_epoch)

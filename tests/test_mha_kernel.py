@@ -125,7 +125,12 @@ def test_qkv_kernel_pallas_backward_parity():
 
 
 def test_qkv_kernel_backward_valid_len_masking():
-    """Masked key positions must receive zero dk/dv."""
+    """Masked key positions must receive zero dk/dv.
+
+    The loss reads only rows < valid_len: output rows at pad positions are
+    contractually unspecified (the ViT slices them off, vit.py pad-once),
+    so gradients flow only through valid rows — the real training situation.
+    """
     from denseclip_vit_multimodal_tpu.ops.mha_kernel import _qkv_mha, _qkv_ref
 
     heads, n, hd, valid = 2, 128, 128, 100
@@ -133,10 +138,12 @@ def test_qkv_kernel_backward_valid_len_masking():
     scale = 64**-0.5
 
     g = jax.grad(
-        lambda x: jnp.sum(_qkv_mha(x, heads, scale, 0, True, valid) ** 2)
+        lambda x: jnp.sum(
+            _qkv_mha(x, heads, scale, 0, True, valid)[:, :valid] ** 2
+        )
     )(qkv)
     g_ref = jax.grad(
-        lambda x: jnp.sum(_qkv_ref(x, heads, scale, valid) ** 2)
+        lambda x: jnp.sum(_qkv_ref(x, heads, scale, valid)[:, :valid] ** 2)
     )(qkv)
     np.testing.assert_allclose(
         np.asarray(g), np.asarray(g_ref), rtol=2e-4, atol=2e-5

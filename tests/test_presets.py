@@ -130,3 +130,42 @@ def test_rn101_preset_matches_reference_topology():
     model, _ = build_denseclip(cfg.model, ADE_CLASSES)
     assert model.num_classes == 150
     assert model.score_concat_index == 3
+
+
+class TestFrozenModulesFromCfg:
+    def test_default_towers_frozen(self):
+        from denseclip_vit_multimodal_tpu.train.state import (
+            frozen_modules_from_cfg,
+        )
+
+        assert frozen_modules_from_cfg({}) == ("backbone", "text_encoder")
+
+    def test_positive_lr_mult_unfreezes(self):
+        """Heritage recipe: backbone lr x0.1 must actually TRAIN the backbone
+        (reference denseclip_fpn_vit-b_640x640_80k.py:53-63) — round-1 left
+        it frozen regardless of the configured multiplier."""
+        from denseclip_vit_multimodal_tpu.train.state import (
+            frozen_modules_from_cfg,
+        )
+
+        cfg = {"lr_mults": {"backbone": 0.1, "text_encoder": 0.0}}
+        assert frozen_modules_from_cfg(cfg) == ("text_encoder",)
+
+    def test_paramwise_schema_unfreezes_too(self):
+        from denseclip_vit_multimodal_tpu.train.state import (
+            frozen_modules_from_cfg,
+        )
+
+        cfg = {"paramwise": {"backbone_lr_mult": 0.1,
+                             "text_encoder_lr_mult": 0.0}}
+        assert frozen_modules_from_cfg(cfg) == ("text_encoder",)
+
+    def test_zero_mult_freezes_extra_module(self):
+        from denseclip_vit_multimodal_tpu.train.state import (
+            frozen_modules_from_cfg,
+        )
+
+        cfg = {"lr_mults": {"neck": 0.0}}
+        assert frozen_modules_from_cfg(cfg) == (
+            "backbone", "neck", "text_encoder",
+        )

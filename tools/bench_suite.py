@@ -7,6 +7,7 @@ Workloads (BASELINE.md / driver configs):
   3. multitask_batched_inference      — joint seg+depth, batched whole-frame
   4. train_step_frozen_text_batch16   — training step, batch 16
   5. aug_test_slide_3scale_flip       — multi-scale+flip slide aug_test
+  6. train_step_unfrozen_backbone     — heritage recipe, live ViT backward
   (ViT-L: run with --config configs/denseclip_vitl14_cityscapes_multitask.yaml)
 
 All timings use the device-side fori_loop methodology (see bench.py): this
@@ -54,7 +55,7 @@ def device_loop_time(fn, args, iters: int) -> float:
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="configs/denseclip_vitb16_cityscapes_multitask.yaml")
-    p.add_argument("--workloads", type=int, nargs="*", default=[1, 2, 3, 4, 5])
+    p.add_argument("--workloads", type=int, nargs="*", default=[1, 2, 3, 4, 5, 6])
     p.add_argument("--iters", type=int, default=8)
     args = p.parse_args(argv)
 
@@ -143,6 +144,40 @@ def main(argv=None):
         float(metrics["loss_total"])  # sync via scalar fetch
         dt = (time.perf_counter() - t0) / iters
         emit("train_step_frozen_text_batch16", b / dt, "samples/sec")
+
+    if 6 in args.workloads:
+        # Heritage recipe: backbone TRAINS at lr x0.1, text tower frozen
+        # (reference denseclip_fpn_vit-b_640x640_80k.py:53-63) — the ViT
+        # backward is live, exercising the Pallas dq/dk/dv kernel.
+        from denseclip_vit_multimodal_tpu.train.state import create_train_state
+        from denseclip_vit_multimodal_tpu.train.step import make_train_step
+
+        aug_cfg = augment_config_from_data_cfg(cfg.get("data", {}), train=True)
+        tcfg = {**dict(cfg.get("training", {})), "lr_mults": {"backbone": 0.1}}
+        state = create_train_state(model, variables, tcfg, 100)
+        step = make_train_step(
+            texts, aug_cfg, frozen_modules=("text_encoder",)
+        )
+        rng = np.random.RandomState(0)
+        b = 16
+        batch = {
+            "image": jnp.asarray(
+                rng.randint(0, 255, (b, 1024, 2048, 3)).astype(np.uint8)),
+            "seg": jnp.asarray(
+                rng.randint(0, 19, (b, 1024, 2048)).astype(np.uint8)),
+            "depth": jnp.asarray(
+                rng.uniform(0.1, 80, (b, 1024, 2048)).astype(np.float32)),
+        }
+        key = jax.random.PRNGKey(0)
+        new_state, metrics = step(state, batch, key)
+        float(metrics["loss_total"])
+        t0 = time.perf_counter()
+        iters = max(args.iters // 2, 2)
+        for _ in range(iters):
+            new_state, metrics = step(new_state, batch, key)
+        float(metrics["loss_total"])
+        dt = (time.perf_counter() - t0) / iters
+        emit("train_step_unfrozen_backbone_batch16", b / dt, "samples/sec")
 
     if 5 in args.workloads:
         from denseclip_vit_multimodal_tpu.infer.engine import Inferencer
