@@ -47,6 +47,21 @@ def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+def layer_norm_apply(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    epsilon: float = 1e-5,
+) -> jnp.ndarray:
+    """fp32-stats layer norm given explicit affine params."""
+    orig_dtype = x.dtype
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + epsilon)
+    return (y * scale + bias).astype(orig_dtype)
+
+
 class LayerNorm(nn.Module):
     """LayerNorm with fp32 statistics regardless of input dtype.
 
@@ -59,16 +74,49 @@ class LayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        orig_dtype = x.dtype
-        x = x.astype(jnp.float32)
         dim = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
-        y = y * scale + bias
-        return y.astype(orig_dtype)
+        return layer_norm_apply(x, scale, bias, self.epsilon)
+
+
+class _LNParams(nn.Module):
+    """Creates LayerNorm's exact param tree and returns the raw arrays.
+
+    Used by the fused LN+QKV+attention path: the kernel needs the affine
+    params explicitly while the param tree must stay byte-identical to the
+    `LayerNorm` module's (checkpoints and importers address `ln_1/scale`).
+    """
+
+    @nn.compact
+    def __call__(self, dim: int):
+        scale = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        return scale, bias
+
+
+class _DenseParams(nn.Module):
+    """Creates nn.Dense's exact param tree and returns the raw arrays."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.xavier_uniform(),
+            (in_dim, self.features),
+            jnp.float32,
+        )
+        bias = (
+            self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
 
 
 def _xla_attention(
@@ -171,13 +219,45 @@ class MultiHeadAttention(nn.Module):
             return False
         return qkv_supported(self.num_heads, dim)
 
+    def _lnqkv_applicable(self, x: jnp.ndarray, dim: int) -> bool:
+        """Fused LN+QKV+attention path (inference): same regime as the
+        qkv-direct kernel.
+
+        Default OFF: measured on v5e at the slide shape the fusion LOSES
+        ~7% end to end (21.1 vs 22.7 img/s) — the per-lane-block LN
+        recompute plus Mosaic's in-kernel projection scheduling cost more
+        than the saved qkv HBM round trip.  Kept opt-in
+        (DENSECLIP_FUSED_LNQKV=1) with full tests for future hardware.
+        """
+        import os
+
+        if os.environ.get("DENSECLIP_FUSED_LNQKV", "0") != "1":
+            return False
+        if self.causal or self.use_qkv_bias is False:
+            return False
+        from denseclip_vit_multimodal_tpu.ops.lnqkv_kernel import (
+            lnqkv_supported,
+        )
+
+        return self._qkv_kernel_applicable(x, dim) and lnqkv_supported(
+            self.num_heads, dim
+        )
+
     @nn.compact
     def __call__(
         self,
         x: jnp.ndarray,
         kv: Optional[jnp.ndarray] = None,
         valid_len: Optional[int] = None,
+        pre_ln: Optional[Tuple[jnp.ndarray, jnp.ndarray, float]] = None,
     ) -> jnp.ndarray:
+        """Self/cross attention.  `pre_ln=(scale, bias, eps)` hands the
+        preceding LayerNorm's affine params in UNAPPLIED so the fused
+        LN+QKV+attention kernel can keep the normalized activations and the
+        qkv tensor on-chip (ops/lnqkv_kernel.py); when the kernel does not
+        serve this shape the norm is applied here and the standard path
+        runs.  The param tree is identical either way.
+        """
         dim = x.shape[-1]
         assert dim % self.num_heads == 0, (dim, self.num_heads)
         head_dim = dim // self.num_heads
@@ -187,6 +267,29 @@ class MultiHeadAttention(nn.Module):
             param_dtype=jnp.float32,
             kernel_init=nn.initializers.xavier_uniform(),
         )
+
+        if pre_ln is not None and kv is None:
+            ln_scale, ln_bias, ln_eps = pre_ln
+            if self._lnqkv_applicable(x, dim):
+                from denseclip_vit_multimodal_tpu.ops.lnqkv_kernel import (
+                    ln_qkv_attention,
+                )
+
+                w_qkv, b_qkv = _DenseParams(3 * dim, name="qkv")(dim)
+                out = ln_qkv_attention(
+                    x.astype(self.dtype),
+                    ln_scale,
+                    ln_bias,
+                    w_qkv,
+                    b_qkv,
+                    self.num_heads,
+                    eps=ln_eps,
+                    valid_len=valid_len,
+                )
+                return dense(dim, use_bias=True, name="out")(out)
+            x = layer_norm_apply(x, ln_scale, ln_bias, ln_eps).astype(
+                self.dtype
+            )
 
         if kv is None:
             qkv = dense(3 * dim, use_bias=self.use_qkv_bias, name="qkv")(x)
@@ -280,13 +383,25 @@ class ResidualAttentionBlock(nn.Module):
         if not deterministic and self.has_rng("dropout"):
             rng1 = self.make_rng("dropout")
             rng2 = self.make_rng("dropout")
-        attn_out = MultiHeadAttention(
+        attn = MultiHeadAttention(
             num_heads=self.num_heads,
             causal=self.causal,
             attn_impl=self.attn_impl,
             dtype=self.dtype,
             name="attn",
-        )(LayerNorm(name="ln_1")(x).astype(self.dtype), valid_len=valid_len)
+        )
+        if deterministic and not self.causal:
+            # Inference: hand ln_1's params to the attention module unapplied
+            # so the fused LN+QKV+attention kernel can serve the whole chain
+            # (training keeps the unfused path — its Pallas VJP is faster
+            # than the fused op's XLA-reference backward).
+            ln_scale, ln_bias = _LNParams(name="ln_1")(x.shape[-1])
+            attn_out = attn(x, valid_len=valid_len, pre_ln=(ln_scale, ln_bias, 1e-5))
+        else:
+            attn_out = attn(
+                LayerNorm(name="ln_1")(x).astype(self.dtype),
+                valid_len=valid_len,
+            )
         x = x + drop_path(attn_out, drop_path_rate, deterministic, rng1)
         mlp_out = MLP(dtype=self.dtype, name="mlp")(
             LayerNorm(name="ln_2")(x).astype(self.dtype)

@@ -99,24 +99,34 @@ def _install_torchvision_stub():
 
 @pytest.fixture(scope="module")
 def ref_pkg():
+    import importlib
+
     _install_stubs()
     _install_torchvision_stub()
     sys.path.insert(0, REF_PATH)
     try:
         from denseclip import denseclip as ref_dc
         from denseclip import models as ref_models
+
+        if not getattr(ref_dc, "TORCHVISION_AVAILABLE", False):
+            # another test imported the reference package before the
+            # torchvision stub existed; re-execute with the stub in place
+            ref_dc = importlib.reload(ref_dc)
     finally:
         sys.path.remove(REF_PATH)
     # Patch the double-apply bug (models.py:305-307) to single-pass CLIP
     # semantics for the text towers; the ViT path iterates resblocks
-    # directly (models.py:565) and is unaffected.
+    # directly (models.py:565) and is unaffected.  Restored at teardown —
+    # test_reference_parity asserts the double-apply exists.
     def single_pass(self, x):
         for blk in self.resblocks:
             x = blk(x)
         return x
 
+    original_forward = ref_models.Transformer.forward
     ref_models.Transformer.forward = single_pass
-    return ref_dc
+    yield ref_dc
+    ref_models.Transformer.forward = original_forward
 
 
 # tiny-but-complete flagship topology: every composite component in play

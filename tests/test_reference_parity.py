@@ -75,18 +75,21 @@ def _install_stubs():
         ftfy.fix_text = lambda s: s
         sys.modules["ftfy"] = ftfy
     if "regex" not in sys.modules:
-        regex = types.ModuleType("regex")
+        try:
+            import regex  # noqa: F401 — real package wins when available
+        except ImportError:
+            regex = types.ModuleType("regex")
 
-        class _LazyPattern:
-            def __init__(self, *a, **k):
-                pass
+            class _LazyPattern:
+                def __init__(self, *a, **k):
+                    pass
 
-            def findall(self, *a, **k):  # pragma: no cover - unused
-                raise NotImplementedError("regex stub")
+                def findall(self, *a, **k):  # pragma: no cover - unused
+                    raise NotImplementedError("regex stub")
 
-        regex.compile = lambda *a, **k: _LazyPattern()
-        regex.IGNORECASE = 0
-        sys.modules["regex"] = regex
+            regex.compile = lambda *a, **k: _LazyPattern()
+            regex.IGNORECASE = 0
+            sys.modules["regex"] = regex
 
 
 @pytest.fixture(scope="module")
