@@ -57,6 +57,10 @@ def main(argv=None):
     p.add_argument("--config", default="configs/denseclip_vitb16_cityscapes_multitask.yaml")
     p.add_argument("--workloads", type=int, nargs="*", default=[1, 2, 3, 4, 5, 6])
     p.add_argument("--iters", type=int, default=8)
+    # slide protocol; ViT-L/14 needs a patch-divisible crop (644 = 46*14)
+    p.add_argument("--crop", type=int, nargs=2, default=[640, 640])
+    p.add_argument("--stride", type=int, nargs=2, default=[426, 426])
+    p.add_argument("--tag", default="", help="suffix for metric names")
     args = p.parse_args(argv)
 
     import jax
@@ -84,7 +88,11 @@ def main(argv=None):
     results = []
 
     def emit(name, value, unit):
-        line = {"metric": name, "value": round(value, 4), "unit": unit}
+        line = {
+            "metric": name + args.tag,
+            "value": round(value, 4),
+            "unit": unit,
+        }
         results.append(line)
         print(json.dumps(line), flush=True)
 
@@ -97,13 +105,15 @@ def main(argv=None):
         emit("vit_b16_512x512_seg_forward", 1.0 / dt, "images/sec")
 
     if 2 in args.workloads:
+        crop, stride = tuple(args.crop), tuple(args.stride)
+
         def one_frame(v, im):
             def wf(w):
                 out = model.apply(v, w, texts_j, train=False)
                 return jnp.concatenate(
                     [out["seg"].astype(jnp.float32),
                      out["depth"].astype(jnp.float32)], -1)
-            return slide_inference(wf, im, 20, crop=(640, 640), stride=(426, 426))
+            return slide_inference(wf, im, 20, crop=crop, stride=stride)
 
         img = jnp.zeros((1, 1024, 2048, 3), jnp.float32)
         dt = device_loop_time(one_frame, (variables, img), args.iters)
@@ -213,7 +223,7 @@ def main(argv=None):
         )
         emit("aug_test_slide_3scale_flip_1024x2048", 1.0 / dt, "images/sec")
 
-    with open("bench_suite_results.json", "w") as f:
+    with open(f"bench_suite_results{args.tag}.json", "w") as f:
         json.dump(results, f, indent=1)
 
 
