@@ -172,6 +172,83 @@ def import_vit_params(
     return params
 
 
+def import_resnet_params(
+    state: Dict[str, np.ndarray],
+    layers: tuple,
+    spacial_dim: int,
+    with_attnpool: bool = True,
+) -> tuple[Params, Params]:
+    """`visual.*` keys of a ResNet CLIP checkpoint -> CLIPResNet params.
+
+    Mirrors the reference's ResNet weight loader incl. the attnpool pos-embed
+    resize (reference models.py:196-226): 3-conv stem, anti-aliased
+    bottleneck stages (downsample Sequential keys 0=conv, 1=bn), and the
+    AttentionPool2d q/k/v/c projections.  Returns (params, batch_stats).
+    """
+
+    def conv(k):
+        return {"kernel": state[f"visual.{k}.weight"].transpose(2, 3, 1, 0)}
+
+    def bn(k):
+        p = {
+            "scale": state[f"visual.{k}.weight"],
+            "bias": state[f"visual.{k}.bias"],
+        }
+        s = {
+            "mean": state[f"visual.{k}.running_mean"],
+            "var": state[f"visual.{k}.running_var"],
+        }
+        return p, s
+
+    params: Params = {}
+    stats: Params = {}
+    stem_p: Params = {}
+    stem_s: Params = {}
+    for i in (1, 2, 3):
+        stem_p[f"conv{i}"] = conv(f"conv{i}")
+        bp, bs = bn(f"bn{i}")
+        stem_p[f"bn{i}"] = bp
+        stem_s[f"bn{i}"] = bs
+    params["stem"] = stem_p
+    stats["stem"] = stem_s
+
+    for li, blocks in enumerate(layers, start=1):
+        lp: Params = {}
+        ls: Params = {}
+        for bi in range(blocks):
+            pre = f"layer{li}.{bi}"
+            bp: Params = {}
+            bs: Params = {}
+            for ci in (1, 2, 3):
+                bp[f"conv{ci}"] = conv(f"{pre}.conv{ci}")
+                a, b = bn(f"{pre}.bn{ci}")
+                bp[f"bn{ci}"] = a
+                bs[f"bn{ci}"] = b
+            if f"visual.{pre}.downsample.0.weight" in state:
+                bp["downsample_conv"] = conv(f"{pre}.downsample.0")
+                a, b = bn(f"{pre}.downsample.1")
+                bp["downsample_bn"] = a
+                bs["downsample_bn"] = b
+            lp[f"block{bi}"] = bp
+            ls[f"block{bi}"] = bs
+        params[f"layer{li}"] = lp
+        stats[f"layer{li}"] = ls
+
+    if with_attnpool and "visual.attnpool.positional_embedding" in state:
+        pos = _resize_grid_pos_embed(
+            state["visual.attnpool.positional_embedding"],
+            (spacial_dim, spacial_dim),
+        )
+        ap: Params = {"positional_embedding": pos}
+        for name in ("q_proj", "k_proj", "v_proj", "c_proj"):
+            ap[name] = {
+                "kernel": _t(state[f"visual.attnpool.{name}.weight"]),
+                "bias": state[f"visual.attnpool.{name}.bias"],
+            }
+        params["attnpool"] = ap
+    return params, stats
+
+
 def import_text_params(
     state: Dict[str, np.ndarray],
     layers: int,
@@ -427,6 +504,61 @@ def import_reference_denseclip(
             _merge_into(params[head], p)
             _merge_into(stats.setdefault(head, {}), s)
     return variables
+
+
+def load_clip_into_variables(
+    variables: Params, clip_path: str, model_cfg
+) -> tuple[Params, int, int]:
+    """Load an OpenAI CLIP checkpoint into DenseCLIP variables, any backbone.
+
+    Dispatches on `model.backbone.type`: ViT checkpoints feed the ViT
+    importer (pos-embed grid resize), RN50/RN101 checkpoints feed the ResNet
+    importer (BN running stats land in `batch_stats`, attnpool pos-embed
+    resized — reference models.py:196-226 / denseclip.py:156-191).
+    Returns (updated variables, #visual leaves, #text leaves).
+    """
+    import jax
+
+    bb = dict(model_cfg["backbone"])
+    te = dict(model_cfg["text_encoder"])
+    state = load_clip_state_dict(clip_path)
+    params = jax.tree.map(np.asarray, dict(variables["params"]))
+    stats = jax.tree.map(np.asarray, dict(variables.get("batch_stats", {})))
+
+    if "visual.class_embedding" in state:  # ViT tower
+        proj = params["backbone"].get("proj")
+        vit = import_vit_params(
+            state,
+            layers=int(bb.get("layers", 12)),
+            base_grid=int(bb.get("input_resolution", 224))
+            // int(bb.get("patch_size", 16)),
+            clip_proj_dim=None if proj is None else int(proj.shape[1]),
+        )
+        n_vis = _merge_into(params["backbone"], vit)
+    else:  # ResNet tower
+        rn_p, rn_s = import_resnet_params(
+            state,
+            layers=tuple(bb.get("layers", (3, 4, 6, 3))),
+            spacial_dim=int(bb.get("input_resolution", 224)) // 32,
+            with_attnpool="attnpool" in params["backbone"],
+        )
+        n_vis = _merge_into(params["backbone"], rn_p)
+        if "backbone" in stats:
+            n_vis += _merge_into(stats["backbone"], rn_s)
+
+    text = import_text_params(
+        state,
+        layers=int(te.get("transformer_layers", 12)),
+        context_length=int(
+            params["text_encoder"]["positional_embedding"].shape[0]
+        ),
+        embed_dim=int(params["text_encoder"]["text_projection"].shape[1]),
+    )
+    n_txt = _merge_into(params["text_encoder"], text)
+    out = {**dict(variables), "params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out, n_vis, n_txt
 
 
 def load_clip_into_denseclip(

@@ -317,19 +317,13 @@ def train(cfg, work_dir: str, resume: Optional[str] = None,
 
         clip_path = ensure_weights(str(clip_path), logger) or clip_path
     if clip_path and os.path.exists(str(clip_path)):
-        bb = cfg.model["backbone"]
-        te = cfg.model["text_encoder"]
-        params, n_vis, n_txt = load_clip_into_denseclip(
-            dict(variables["params"]),
-            str(clip_path),
-            vit_layers=int(bb.get("layers", 12)),
-            vit_base_grid=int(bb.get("input_resolution", 224))
-            // int(bb.get("patch_size", 16)),
-            text_layers=int(te.get("transformer_layers", 12)),
-            text_context_length=int(te.get("context_length", 22)),
-            text_embed_dim=int(te.get("embed_dim", 512)),
+        from denseclip_vit_multimodal_tpu.train.clip_import import (
+            load_clip_into_variables,
         )
-        variables = {**variables, "params": params}
+
+        variables, n_vis, n_txt = load_clip_into_variables(
+            variables, str(clip_path), cfg.model
+        )
         logger.info("loaded CLIP weights: %d visual / %d text leaves", n_vis, n_txt)
     elif clip_path:
         logger.warning("clip_pretrained %s not found; training from scratch", clip_path)

@@ -82,9 +82,17 @@ def main(argv=None):
         cfg.model, CITYSCAPES_CLASSES, dtype=jnp.bfloat16
     )
     texts_j = jnp.asarray(texts)
+    init_hw = tuple(args.crop)  # patch-divisible (ViT-L/14 needs 644)
     variables = jax.jit(model.init)(
-        jax.random.PRNGKey(0), jnp.zeros((1, 640, 640, 3), jnp.float32), texts_j
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, init_hw[0], init_hw[1], 3), jnp.float32),
+        texts_j,
     )
+
+    def fresh_variables():
+        # train steps donate their state, which shares buffers with
+        # `variables`; hand them a private copy so later workloads survive
+        return jax.tree.map(jnp.array, variables)
     results = []
 
     def emit(name, value, unit):
@@ -132,7 +140,9 @@ def main(argv=None):
         from denseclip_vit_multimodal_tpu.train.step import make_train_step
 
         aug_cfg = augment_config_from_data_cfg(cfg.get("data", {}), train=True)
-        state = create_train_state(model, variables, cfg.get("training", {}), 100)
+        state = create_train_state(
+            model, fresh_variables(), cfg.get("training", {}), 100
+        )
         step = make_train_step(texts, aug_cfg)
         rng = np.random.RandomState(0)
         b = 16
@@ -164,12 +174,12 @@ def main(argv=None):
 
         aug_cfg = augment_config_from_data_cfg(cfg.get("data", {}), train=True)
         tcfg = {**dict(cfg.get("training", {})), "lr_mults": {"backbone": 0.1}}
-        state = create_train_state(model, variables, tcfg, 100)
+        state = create_train_state(model, fresh_variables(), tcfg, 100)
         step = make_train_step(
             texts, aug_cfg, frozen_modules=("text_encoder",)
         )
         rng = np.random.RandomState(0)
-        b = 16
+        b = 8  # live ViT backward: batch 16 exceeds single-chip HBM
         batch = {
             "image": jnp.asarray(
                 rng.randint(0, 255, (b, 1024, 2048, 3)).astype(np.uint8)),
@@ -187,7 +197,7 @@ def main(argv=None):
             new_state, metrics = step(new_state, batch, key)
         float(metrics["loss_total"])
         dt = (time.perf_counter() - t0) / iters
-        emit("train_step_unfrozen_backbone_batch16", b / dt, "samples/sec")
+        emit("train_step_unfrozen_backbone_batch8", b / dt, "samples/sec")
 
     if 5 in args.workloads:
         from denseclip_vit_multimodal_tpu.infer.engine import Inferencer
