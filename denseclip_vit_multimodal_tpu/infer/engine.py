@@ -79,6 +79,12 @@ class Inferencer:
             return seg, depth
         if mode != "slide":
             raise ValueError(f"Unknown inference mode: {mode}")
+        # Images smaller than the crop (e.g. downscaled aug_test views) get
+        # the window clamped to the image — one whole-image window in that
+        # dimension, matching mmseg slide semantics (reference test_cfg,
+        # configs/denseclip_fpn_vit-b_640x640_80k.py:50).
+        crop = (min(crop[0], image.shape[1]), min(crop[1], image.shape[2]))
+        stride = (min(stride[0], crop[0]), min(stride[1], crop[1]))
         n_out = self.num_classes + (1 if self.with_depth else 0)
 
         def window_forward(windows):

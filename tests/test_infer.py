@@ -154,6 +154,28 @@ def test_aug_test_no_host_round_trips(tiny_inferencer, monkeypatch):
     assert out["seg_logits"].shape == (1, 32, 64, 19)
 
 
+def test_slide_crop_larger_than_image_clamps(tiny_inferencer):
+    """Downscaled aug_test views can be smaller than the crop; the window
+    must clamp to the image instead of failing window extraction."""
+    imgs = np.random.RandomState(7).randint(0, 255, (1, 32, 64, 3), dtype=np.uint8)
+    out = tiny_inferencer.predict(imgs, mode="slide", crop=(64, 128),
+                                  stride=(48, 96))
+    assert out["seg_logits"].shape == (1, 32, 64, 19)
+    assert np.isfinite(out["seg_logits"]).all()
+
+
+def test_aug_test_slide_downscale_below_crop(tiny_inferencer):
+    """scale 0.5 of a 64x128 image is below the 32x64 crop in no dim here,
+    but 0.25 is — the whole multi-scale chain must survive."""
+    imgs = np.random.RandomState(8).randint(0, 255, (1, 64, 128, 3), dtype=np.uint8)
+    out = tiny_inferencer.aug_test(
+        imgs, scales=(0.25, 1.0), flip=True, mode="slide",
+        crop=(32, 64), stride=(24, 48),
+    )
+    assert out["seg_logits"].shape == (1, 64, 128, 19)
+    assert np.isfinite(out["seg_logits"]).all()
+
+
 def test_aug_test_slide_mode(tiny_inferencer):
     imgs = np.random.RandomState(6).randint(0, 255, (1, 64, 128, 3), dtype=np.uint8)
     out = tiny_inferencer.aug_test(
