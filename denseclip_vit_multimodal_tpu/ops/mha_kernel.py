@@ -90,9 +90,8 @@ def _softmax_unnormalized(s: jnp.ndarray, n_real: int, p_dtype):
 
     Returns (p, denom): the [bq, N] division is deferred to the [bq, D]
     output (o / denom) — one full VPU pass over the score tile saved.
-    With `p_dtype` bf16 the exp pass runs on packed bf16 lanes (2x VPU
-    throughput); p feeds the PV matmul in bf16 anyway, so only the
-    denominator accumulation changes, and that stays fp32.
+    (A ones-matmul MXU rowsum for the denominator was MEASURED SLOWER:
+    kernel 1.89 -> 2.11 ms — the extra MXU op serializes against QK/PV.)
     """
     n_pad = s.shape[-1]
     if n_pad != n_real:
