@@ -367,7 +367,9 @@ def _qkv_fwd_impl(qkv, num_heads, scale, block_q, interpret, valid_len=None):
     n_pad = -(-n // _LANE) * _LANE
     if n_pad != n:
         qkv = jnp.pad(qkv, ((0, 0), (0, n_pad - n), (0, 0)))
-    bq = _pick_block_q(n_pad, block_q, score_bufs=heads_per_block)
+    # the per-head loop keeps ONE score tile live at a time, so the tile
+    # budget matches the single-head kernel's (bq 416 -> 832 at N=1664)
+    bq = _pick_block_q(n_pad, block_q)
     lane_block = head_dim * heads_per_block
     n_lane_blocks = hd // lane_block
     grid = (b, n_lane_blocks, n_pad // bq)

@@ -45,6 +45,7 @@ from denseclip_vit_multimodal_tpu.train.metrics import (
     miou_from_confusion,
 )
 from denseclip_vit_multimodal_tpu.train.schedules import build_schedule
+from denseclip_vit_multimodal_tpu.utils.env import GracefulShutdown
 from denseclip_vit_multimodal_tpu.train.state import count_params, create_train_state
 from denseclip_vit_multimodal_tpu.train.step import make_eval_step, make_train_step
 
@@ -221,6 +222,9 @@ def train(cfg, work_dir: str, resume: Optional[str] = None,
     """
     mesh_lib.maybe_initialize_distributed()
     logger = setup_logger(work_dir)
+    # install the preemption handler BEFORE the (minutes-long) model build —
+    # a SIGTERM during compilation must still stop gracefully
+    shutdown = GracefulShutdown(logger)
     is_main = jax.process_index() == 0
 
     tpu_cfg = cfg.get("tpu", {}) or {}
@@ -408,6 +412,8 @@ def train(cfg, work_dir: str, resume: Optional[str] = None,
                 writer.scalars("train_batch", snapshot, int(state.step))
             if max_steps and total_steps >= max_steps:
                 break
+            if shutdown.requested:
+                break
 
         epoch_means = {
             k: float(np.mean([float(x) for x in v]))
@@ -442,9 +448,21 @@ def train(cfg, work_dir: str, resume: Optional[str] = None,
                 )
         if is_main and (epoch + 1) % save_interval == 0:
             ckpt_lib.save_checkpoint(work_dir, state, epoch, best_metric)
+        if shutdown.requested:
+            # Preemption (SIGTERM, e.g. TPU maintenance events): save a
+            # resumable checkpoint at the current epoch and exit cleanly —
+            # `--resume latest` continues from here.  The reference's only
+            # recovery is manual (SURVEY.md §5.3).
+            if is_main:
+                ckpt_lib.save_checkpoint(work_dir, state, epoch, best_metric)
+                logger.info(
+                    "shutdown requested: checkpoint saved at epoch %d", epoch
+                )
+            break
         if max_steps and total_steps >= max_steps:
             break
 
+    shutdown.restore()
     if is_main:
         ckpt_lib.save_checkpoint(work_dir, state, max(epochs - 1, start_epoch), best_metric)
     writer.close()

@@ -108,3 +108,46 @@ def seed_everything(seed: int) -> "jax.Array":
     random.seed(seed)
     np.random.seed(seed % (2**32))
     return jax.random.fold_in(jax.random.PRNGKey(seed), jax.process_index())
+
+
+class GracefulShutdown:
+    """SIGTERM-aware stop flag for preemption-safe training.
+
+    TPU VMs receive SIGTERM on maintenance events / preemptions; the train
+    loop polls `requested` each step and saves a resumable checkpoint before
+    exiting (the reference's only recovery is a manual `--resume`,
+    SURVEY.md §5.3).  A second SIGTERM falls through to the previous handler
+    so a stuck save can still be killed.  `restore()` reinstalls the prior
+    handler (important under pytest / nested loops).
+    """
+
+    def __init__(self, logger=None):
+        import signal
+
+        self.requested = False
+        self._logger = logger
+        self._signal = signal
+        try:
+            self._prev = signal.signal(signal.SIGTERM, self._handle)
+            self._installed = True
+        except ValueError:  # not in the main thread
+            self._prev = None
+            self._installed = False
+
+    def _handle(self, signum, frame):
+        if self.requested and callable(self._prev):
+            self._prev(signum, frame)
+            return
+        self.requested = True
+        if self._logger is not None:
+            self._logger.warning(
+                "SIGTERM received: finishing the current step, then "
+                "checkpointing and exiting"
+            )
+
+    def restore(self) -> None:
+        if self._installed:
+            self._signal.signal(
+                self._signal.SIGTERM, self._prev or self._signal.SIG_DFL
+            )
+            self._installed = False

@@ -89,3 +89,29 @@ def test_train_validate_checkpoint_resume(tmp_path):
         if c.startswith("epoch_")
     }
     assert "epoch_2" in epochs_saved
+
+
+def test_sigterm_preemption_saves_checkpoint(tmp_path):
+    """SIGTERM mid-training must stop cleanly with a resumable checkpoint
+    (preemption safety; the reference only supports manual --resume)."""
+    import os
+    import signal
+    import threading
+
+    cfg = _tiny_cfg(tmp_path, epochs=50)
+    cfg["training"]["eval_interval"] = 1000
+    cfg["training"]["save_interval"] = 1000
+    cfg["training"]["save_visualizations"] = False
+    pid = os.getpid()
+    timer = threading.Timer(8.0, lambda: os.kill(pid, signal.SIGTERM))
+    timer.start()
+    try:
+        train(cfg, str(tmp_path / "wd"), no_validate=True)
+    finally:
+        timer.cancel()
+    ckpts = os.listdir(tmp_path / "wd" / "checkpoints")
+    assert any("latest" in c or "epoch" in c for c in ckpts), ckpts
+    # handler restored: SIGTERM handling back to default
+    assert signal.getsignal(signal.SIGTERM) in (
+        signal.SIG_DFL, signal.default_int_handler,
+    )
