@@ -44,6 +44,44 @@ _LANE = 128
 # (2.10 -> 1.95 ms: one fewer full VPU pass over the score tile).
 _EXP_BF16 = os.environ.get("DENSECLIP_EXP_BF16", "0") == "1"
 _LOG2E = 1.4426950408889634  # softmax via exp2: scale*log2(e) folds into QK
+# Fast softmax exponential: replace the VPU transcendental exp2 over the
+# [bq, N] score tile with exponent-bit assembly + a cubic mantissa
+# polynomial (cheap ALU ops only).  Env-gated for measurement; see
+# _exp2_poly for the accuracy budget.
+_FAST_EXP2 = os.environ.get("DENSECLIP_FAST_EXP2", "0") == "1"
+# Cubic minimax for 2^f on [0,1): max relative error 8.4e-5 — an order of
+# magnitude below the bf16 quantization the exp output suffers anyway when
+# cast for the PV matmul.
+_E2C0 = 0.9999413315491341
+_E2C1 = 0.6957344083154011
+_E2C2 = 0.2261244071264617
+_E2C3 = 0.07808251030411106
+
+
+def _exp2_poly(x: jnp.ndarray) -> jnp.ndarray:
+    """2^x for x <= 0, fp32, via exponent-field bit assembly.
+
+    Split x = xi + xf with xi = floor(x) and xf in [0, 1); evaluate the
+    cubic for 2^xf (value in [1, 2), so its float32 exponent field is
+    exactly 127) and add xi straight into the exponent bits — no transcendental.
+    Inputs are clamped at -126 (softmax weight < 1.2e-38: zero for every
+    purpose here, and the clamp keeps the bit arithmetic out of denormals).
+    """
+    x = jnp.maximum(x, -126.0)
+    xi = jnp.floor(x)
+    xf = x - xi
+    p = _E2C0 + xf * (_E2C1 + xf * (_E2C2 + xf * _E2C3))
+    bits = jax.lax.bitcast_convert_type(p, jnp.int32)
+    bits = bits + (xi.astype(jnp.int32) << 23)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
+def _exp2(x: jnp.ndarray) -> jnp.ndarray:
+    # The bit-assembly path needs the float32 layout; other dtypes (the
+    # opt-in bf16 exp experiment) keep the transcendental.
+    if _FAST_EXP2 and x.dtype == jnp.float32:
+        return _exp2_poly(x)
+    return jnp.exp2(x)
 # Budget for the fp32 score tile in VMEM.  Half the 16 MB/core: the softmax
 # chain can hold a second score-sized temporary (exp / mask iota) alive, and
 # K/V tiles + compiler scratch take the rest (an 10.6 MB tile OOMed at
@@ -98,7 +136,7 @@ def _softmax_unnormalized(s: jnp.ndarray, n_real: int, p_dtype):
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < n_real, s, jnp.finfo(jnp.float32).min)
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp2((s - m).astype(p_dtype))
+    p = _exp2((s - m).astype(p_dtype))
     denom = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
     return p, denom
 
@@ -337,9 +375,11 @@ def _qkv_kernel(n_real: int, scale: float, heads_per_block: int,
             # iota+compare+select mask pass over the score tile.  (m >= 0 by
             # construction since the 0 columns participate in the max.)
             m = jnp.max(s, axis=-1, keepdims=True)
-            p = jnp.exp2(s - m)
+            p = _exp2(s - m)
             denom = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
-            denom = denom - (n_pad - n_real) * jnp.exp2(
+            # same exp approximation as the tile so the pad-column
+            # contribution cancels exactly
+            denom = denom - (n_pad - n_real) * _exp2(
                 -m.astype(jnp.float32)
             )
         else:
