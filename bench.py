@@ -65,7 +65,11 @@ def main():
     num_out = len(CITYSCAPES_CLASSES) + 1  # seg logits + depth
 
     def window_forward(vars_, windows):
-        out = model.apply(vars_, windows, texts_j, train=False)
+        # Head-resolution logits: slide_inference fuses the upsample into
+        # its scatter loop (infer/slide.py).
+        out = model.apply(
+            vars_, windows, texts_j, train=False, resize_outputs=False
+        )
         return jnp.concatenate(
             [out["seg"].astype(jnp.float32), out["depth"].astype(jnp.float32)],
             axis=-1,

@@ -88,7 +88,11 @@ class Inferencer:
         n_out = self.num_classes + (1 if self.with_depth else 0)
 
         def window_forward(windows):
-            out = self.model.apply(variables, windows, texts, train=False)
+            # Head-resolution outputs: the slide engine fuses the upsample
+            # into its scatter loop (see infer/slide.py).
+            out = self.model.apply(
+                variables, windows, texts, train=False, resize_outputs=False
+            )
             parts = [out["seg"]]
             if self.with_depth and out.get("depth") is not None:
                 parts.append(out["depth"])

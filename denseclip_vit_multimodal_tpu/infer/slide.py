@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from denseclip_vit_multimodal_tpu.models.layers import resize_bilinear
+
 
 def window_origins(size: int, crop: int, stride: int) -> List[int]:
     """Window start offsets covering `size` (last window clamped flush)."""
@@ -64,11 +66,19 @@ def slide_inference(
     stride: Tuple[int, int] = (426, 426),
     window_batch: int = 0,
 ) -> jnp.ndarray:
-    """Slide `forward` (window [N,ch,cw,3] -> logits [N,ch,cw,K]) over image.
+    """Slide `forward` (window [N,ch,cw,3] -> logits [N,h',w',K]) over image.
 
     Returns [B, H, W, num_outputs] averaged logits.  `window_batch` > 0
     chunks the window batch through `lax.map` to bound peak memory for very
     large frames; 0 runs all windows in one forward.
+
+    `forward` may return logits at any resolution: head-resolution outputs
+    (model `resize_outputs=False`) have their (linear) upsample to the crop
+    size fused into the scatter loop below, instead of materializing
+    full-crop fp32 logits for every window up front — ~1 GB less HBM traffic
+    per 1024x2048 frame at the reference 640/426 grid.  The upsample itself
+    is identical to the model's own (`resize_bilinear` on fp32), so the
+    result is bit-comparable with the resize-in-model path.
     """
     b, h, w, _ = image.shape
     ch, cw = crop
@@ -81,27 +91,33 @@ def slide_inference(
     )  # [B, n_win, ch, cw, 3]
     flat = windows.reshape(b * n_win, ch, cw, -1)
 
-    # 2. batched forward
+    # 2. batched forward (logits may come back at head resolution)
     if window_batch and window_batch < b * n_win:
         total = b * n_win
         pad = (-total) % window_batch
         padded = jnp.concatenate([flat, flat[: pad]], axis=0) if pad else flat
         chunks = padded.reshape(-1, window_batch, ch, cw, flat.shape[-1])
         logits = jax.lax.map(forward, chunks)
-        logits = logits.reshape(-1, ch, cw, num_outputs)[:total]
+        logits = logits.reshape((-1,) + logits.shape[2:])[:total]
     else:
         logits = forward(flat)
-    logits = logits.reshape(b, n_win, ch, cw, num_outputs).astype(jnp.float32)
+    lh, lw = logits.shape[1:3]
+    logits = logits.reshape(b, n_win, lh, lw, num_outputs).astype(jnp.float32)
 
-    # 3. scatter-add + normalize by the constant coverage map
+    # 3. scatter-add + normalize by the constant coverage map; the upsample
+    # to crop size (when `forward` returned head-resolution logits) rides
+    # inside the loop, one window at a time
     canvas = jnp.zeros((b, h, w, num_outputs), jnp.float32)
     for i, (y, x) in enumerate(grid):
+        win = logits[:, i]
+        if (lh, lw) != (ch, cw):
+            win = resize_bilinear(win, (ch, cw))
         canvas = jax.lax.dynamic_update_slice(
             canvas,
             jax.lax.dynamic_slice(
                 canvas, (0, y, x, 0), (b, ch, cw, num_outputs)
             )
-            + logits[:, i],
+            + win,
             (0, y, x, 0),
         )
     inv_cnt = jnp.asarray(1.0 / count_map((h, w), crop, stride))[None, :, :, None]

@@ -91,12 +91,19 @@ class DenseCLIP(nn.Module):
                 (1, self.num_learnable_contexts, self.token_embed_dim),
                 jnp.float32,
             )
-            ctx = jnp.broadcast_to(
-                contexts, (batch, self.num_learnable_contexts, self.token_embed_dim)
+            # The learnable prompt is batch-invariant, so the tower output is
+            # identical for every batch element: encode ONCE and broadcast.
+            # (The reference expands to [B*K, N, C] and pays the 12-layer
+            # tower B times per step, denseclip.py:652-656 / models.py:844-859
+            # — measured ~1 ms/frame of pure waste at the 10-window slide
+            # batch.)  The per-image conditioning enters below, through the
+            # context-decoder delta.
+            emb = self.text_encoder(
+                texts, contexts, deterministic=deterministic
+            )  # [1, K, C]
+            text_embeddings = jnp.broadcast_to(
+                emb, (batch,) + emb.shape[1:]
             )
-            text_embeddings = self.text_encoder(
-                texts, ctx, deterministic=deterministic
-            )  # [B, K, C]
         else:
             emb = self.text_encoder(texts, deterministic=deterministic)  # [K, C]
             text_embeddings = jnp.broadcast_to(
@@ -123,12 +130,16 @@ class DenseCLIP(nn.Module):
         train: bool = False,
         gt_hw: Optional[Tuple[int, int]] = None,
         return_features: bool = False,
+        resize_outputs: bool = True,
     ) -> Dict[str, jnp.ndarray]:
         """Returns {'seg': [B,h,w,K], 'depth': [B,h,w,1], 'score_map': ...}.
 
         Train mode resizes outputs to `gt_hw` (reference denseclip.py:843-867);
         inference resizes to the input image size (denseclip.py:892-916).
-        Segmentation logits come back channel-last.
+        `resize_outputs=False` skips that final upsample and returns logits at
+        head resolution — the slide engine fuses the (linear) upsample into
+        its scatter loop instead of materializing full-crop fp32 logits for
+        every window.  Segmentation logits come back channel-last.
         """
         deterministic = not train
         feats = self.backbone(image.astype(self.dtype), deterministic=deterministic)
@@ -208,10 +219,15 @@ class DenseCLIP(nn.Module):
             target_hw = tuple(gt_hw)
         else:
             target_hw = (image.shape[1], image.shape[2])
-        if seg_logits is not None and seg_logits.shape[1:3] != target_hw:
-            seg_logits = resize_bilinear(seg_logits.astype(jnp.float32), target_hw)
-        if depth_pred is not None and depth_pred.shape[1:3] != target_hw:
-            depth_pred = resize_bilinear(depth_pred.astype(jnp.float32), target_hw)
+        if resize_outputs:
+            if seg_logits is not None and seg_logits.shape[1:3] != target_hw:
+                seg_logits = resize_bilinear(
+                    seg_logits.astype(jnp.float32), target_hw
+                )
+            if depth_pred is not None and depth_pred.shape[1:3] != target_hw:
+                depth_pred = resize_bilinear(
+                    depth_pred.astype(jnp.float32), target_hw
+                )
 
         out: Dict[str, Any] = {"seg": seg_logits, "depth": depth_pred}
         if return_features:

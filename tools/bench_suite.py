@@ -117,7 +117,9 @@ def main(argv=None):
 
         def one_frame(v, im):
             def wf(w):
-                out = model.apply(v, w, texts_j, train=False)
+                out = model.apply(
+                    v, w, texts_j, train=False, resize_outputs=False
+                )
                 return jnp.concatenate(
                     [out["seg"].astype(jnp.float32),
                      out["depth"].astype(jnp.float32)], -1)

@@ -17,6 +17,7 @@ deployment); weights ship alongside as an .npz keyed by flattened tree path.
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -112,14 +113,18 @@ def main(argv=None):
         tree = jax.tree_util.tree_unflatten(treedef, flat)
         pre = (image.astype(jnp.float32) / 255.0 - mean) / std
 
-        def fwd(im):
-            out = model.apply(tree, im, texts_j, train=False)
+        def fwd(im, resize_outputs=True):
+            out = model.apply(
+                tree, im, texts_j, train=False, resize_outputs=resize_outputs
+            )
             parts = [out["seg"].astype(jnp.float32)]
             if out.get("depth") is not None:
                 parts.append(out["depth"].astype(jnp.float32))
             return jnp.concatenate(parts, axis=-1)
 
         if args.mode == "slide":
+            # head-resolution logits; slide fuses the upsample (infer/slide.py)
+            fwd = functools.partial(fwd, resize_outputs=False)
             return slide_inference(
                 fwd, pre, n_out, crop=tuple(args.crop), stride=tuple(args.stride)
             )
