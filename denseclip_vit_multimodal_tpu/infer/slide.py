@@ -13,8 +13,14 @@ XLA program with zero host round-trips:
   1. gather all windows of all images into one [B*n_win, ch, cw, 3] batch
      (static slices — XLA fuses them into the convolution's input stream);
   2. ONE batched forward over every window — the ViT sees a big, uniform
-     batch, exactly what keeps the MXU fed;
-  3. scatter-add window logits + a precomputed count map, divide.
+     batch, exactly what keeps the MXU fed; windows come back at head
+     resolution and the (linear) upsample to crop size is deferred;
+  3. overlap-add as a STATIC STRIP DECOMPOSITION: window boundaries are
+     compile-time constants, so the output canvas partitions into strips
+     whose contributing windows are known at trace time — each strip is a
+     sum of static slices, assembled with two concatenates.  No
+     read-modify-write canvas loop (a dynamic_update_slice chain serializes
+     and pays a canvas-sized copy per window — measured ~4 ms/frame).
 
 The count map is a compile-time constant (same for every image), so the
 normalization is one fused multiply.
@@ -103,22 +109,41 @@ def slide_inference(
         logits = forward(flat)
     lh, lw = logits.shape[1:3]
     logits = logits.reshape(b, n_win, lh, lw, num_outputs).astype(jnp.float32)
+    ups = [
+        resize_bilinear(logits[:, i], (ch, cw))
+        if (lh, lw) != (ch, cw)
+        else logits[:, i]
+        for i in range(n_win)
+    ]
 
-    # 3. scatter-add + normalize by the constant coverage map; the upsample
-    # to crop size (when `forward` returned head-resolution logits) rides
-    # inside the loop, one window at a time
-    canvas = jnp.zeros((b, h, w, num_outputs), jnp.float32)
-    for i, (y, x) in enumerate(grid):
-        win = logits[:, i]
-        if (lh, lw) != (ch, cw):
-            win = resize_bilinear(win, (ch, cw))
-        canvas = jax.lax.dynamic_update_slice(
-            canvas,
-            jax.lax.dynamic_slice(
-                canvas, (0, y, x, 0), (b, ch, cw, num_outputs)
-            )
-            + win,
-            (0, y, x, 0),
+    # 3. overlap-add as a static strip decomposition + normalize by the
+    # constant coverage map.  A dynamic_update_slice read-modify-write loop
+    # over the [B, H, W, K] fp32 canvas serializes 10 window updates and
+    # costs a canvas-sized copy each (measured ~4 ms of the 42 ms frame at
+    # the reference 640/426 grid).  Window boundaries are static, so the
+    # canvas partitions into strips whose contributing windows are known at
+    # trace time: every strip is a SUM of static slices — pure gather,
+    # written exactly once, no serialization.
+    def segments(origins: Sequence[int], crop_sz: int, size: int) -> List[Tuple[int, int]]:
+        bounds = sorted(
+            {0, size}
+            | {o for o in origins}
+            | {min(o + crop_sz, size) for o in origins}
         )
+        return list(zip(bounds[:-1], bounds[1:]))
+
+    row_parts = []
+    for y0, y1 in segments([g[0] for g in grid], ch, h):
+        col_parts = []
+        for x0, x1 in segments([g[1] for g in grid], cw, w):
+            acc = None
+            for i, (wy, wx) in enumerate(grid):
+                if wy <= y0 and y1 <= wy + ch and wx <= x0 and x1 <= wx + cw:
+                    piece = ups[i][:, y0 - wy : y1 - wy, x0 - wx : x1 - wx, :]
+                    acc = piece if acc is None else acc + piece
+            assert acc is not None, "slide grid leaves uncovered pixels"
+            col_parts.append(acc)
+        row_parts.append(jnp.concatenate(col_parts, axis=2))
+    canvas = jnp.concatenate(row_parts, axis=1)
     inv_cnt = jnp.asarray(1.0 / count_map((h, w), crop, stride))[None, :, :, None]
     return canvas * inv_cnt

@@ -42,6 +42,36 @@ def test_slide_identity_forward_averages_to_input():
     np.testing.assert_allclose(np.asarray(out), np.asarray(x), rtol=1e-5)
 
 
+def test_slide_head_resolution_forward_matches_model_resize(tiny_inferencer):
+    """resize_outputs=False + in-engine upsample == resize-in-model path.
+
+    The upsample is linear and identical (`resize_bilinear` on fp32), so the
+    two paths must agree bitwise per window; the strip overlap-add then sums
+    the same fp32 values in a fixed static order.
+    """
+    inf = tiny_inferencer
+    img = jnp.asarray(
+        np.random.RandomState(11).rand(1, 64, 128, 3).astype(np.float32)
+    )
+
+    def wf(win, resize_outputs):
+        out = inf.model.apply(
+            inf.variables, win, inf.texts, train=False,
+            resize_outputs=resize_outputs,
+        )
+        return jnp.concatenate(
+            [out["seg"].astype(jnp.float32), out["depth"].astype(jnp.float32)],
+            axis=-1,
+        )
+
+    full = slide_inference(
+        lambda w: wf(w, True), img, 20, crop=(32, 64), stride=(16, 48))
+    head = slide_inference(
+        lambda w: wf(w, False), img, 20, crop=(32, 64), stride=(16, 48))
+    np.testing.assert_allclose(np.asarray(full), np.asarray(head),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_slide_window_batch_chunking_equivalent():
     h, w, c = 96, 160, 4
     x = jnp.asarray(np.random.RandomState(1).rand(1, h, w, c).astype(np.float32))
