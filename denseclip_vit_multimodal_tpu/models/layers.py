@@ -28,6 +28,7 @@ fp32 softmax/normalization for stability.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
@@ -461,6 +462,11 @@ class Transformer(nn.Module):
                 )(carry, rate, deterministic, valid_len)
                 return y, y
 
+        # Unrolling lets XLA software-pipeline HBM traffic across layer
+        # boundaries at the cost of compile time; env-gated for measurement.
+        unroll = int(os.environ.get("DENSECLIP_SCAN_UNROLL", "1"))
+        if unroll <= 1 or self.layers % unroll:
+            unroll = 1
         Scanned = nn.scan(
             TapBlock,
             variable_axes={"params": 0},
@@ -468,6 +474,7 @@ class Transformer(nn.Module):
             in_axes=(0,),
             length=self.layers,
             metadata_params={nn.PARTITION_NAME: "layers"},
+            unroll=unroll,
         )
         final, taps = Scanned(name="blocks")(x, rates)
         return final, taps

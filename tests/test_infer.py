@@ -85,6 +85,23 @@ def test_slide_window_batch_chunking_equivalent():
     np.testing.assert_allclose(np.asarray(full), np.asarray(chunked), rtol=1e-6)
 
 
+def test_slide_window_batch_chunking_head_resolution():
+    """lax.map-chunked forwards may also return head-resolution logits."""
+    h, w, c = 96, 160, 4
+    x = jnp.asarray(np.random.RandomState(3).rand(1, h, w, c).astype(np.float32))
+
+    def fwd(win):
+        # 4x-downsampled "head" output
+        n, ch, cw, k = win.shape
+        return jax.image.resize(win, (n, ch // 4, cw // 4, k), "bilinear")
+
+    full = slide_inference(fwd, x, c, crop=(64, 64), stride=(48, 48))
+    chunked = slide_inference(fwd, x, c, crop=(64, 64), stride=(48, 48),
+                              window_batch=2)
+    assert full.shape == (1, h, w, c)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked), rtol=1e-6)
+
+
 @pytest.fixture(scope="module")
 def tiny_inferencer(tiny_model_cfg):
     from denseclip_vit_multimodal_tpu.data.augment import AugmentConfig
