@@ -65,7 +65,7 @@ class Inferencer:
         return self._jit_cache[key]
 
     def _forward_logits(self, variables, image, texts, mode, crop, stride,
-                        window_batch):
+                        window_batch, window_sharding=None):
         """Traceable seg/depth forward for either mode.
 
         Returns (seg [B, H, W, K] fp32, depth [B, H, W, 1] fp32 or None) at
@@ -102,21 +102,21 @@ class Inferencer:
 
         fused = slide_inference(
             window_forward, image, n_out, crop=crop, stride=stride,
-            window_batch=window_batch,
+            window_batch=window_batch, window_sharding=window_sharding,
         )
         seg = fused[..., : self.num_classes]
         depth = fused[..., self.num_classes :] if self.with_depth else None
         return seg, depth
 
     def _slide_fn(self, crop: Tuple[int, int], stride: Tuple[int, int],
-                  window_batch: int):
-        key = ("slide", crop, stride, window_batch)
+                  window_batch: int, window_sharding=None):
+        key = ("slide", crop, stride, window_batch, window_sharding)
         if key not in self._jit_cache:
 
             def run(variables, image, texts):
                 return self._forward_logits(
                     variables, image, texts, "slide", crop, stride,
-                    window_batch,
+                    window_batch, window_sharding,
                 )
 
             self._jit_cache[key] = jax.jit(run)
@@ -177,6 +177,7 @@ class Inferencer:
         stride: Tuple[int, int] = (426, 426),
         window_batch: int = 0,
         preprocessed: bool = False,
+        window_sharding=None,
     ) -> Dict[str, np.ndarray]:
         """Forward one batch; returns {'seg_logits', 'seg', 'depth'?}."""
         image = images if preprocessed else self.preprocess(images)
@@ -186,7 +187,7 @@ class Inferencer:
             )
         elif mode == "slide":
             seg_logits, depth = self._slide_fn(
-                tuple(crop), tuple(stride), window_batch
+                tuple(crop), tuple(stride), window_batch, window_sharding
             )(self.variables, image, self.texts)
         else:
             raise ValueError(f"Unknown inference mode: {mode}")

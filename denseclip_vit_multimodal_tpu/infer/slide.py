@@ -71,6 +71,7 @@ def slide_inference(
     crop: Tuple[int, int] = (640, 640),
     stride: Tuple[int, int] = (426, 426),
     window_batch: int = 0,
+    window_sharding=None,
 ) -> jnp.ndarray:
     """Slide `forward` (window [N,ch,cw,3] -> logits [N,h',w',K]) over image.
 
@@ -85,6 +86,12 @@ def slide_inference(
     per 1024x2048 frame at the reference 640/426 grid.  The upsample itself
     is identical to the model's own (`resize_bilinear` on fp32), so the
     result is bit-comparable with the resize-in-model path.
+
+    `window_sharding` (a `jax.sharding.NamedSharding` over the flat window
+    batch, e.g. `P("data")`) spreads the windows of a SINGLE frame across
+    the mesh — the reference's DDP can only shard whole images, so one
+    latency-critical frame saturates one GPU; here the batched forward is
+    SPMD over windows and XLA gathers the logits for the overlap-add.
     """
     b, h, w, _ = image.shape
     ch, cw = crop
@@ -96,6 +103,9 @@ def slide_inference(
         [image[:, y : y + ch, x : x + cw, :] for (y, x) in grid], axis=1
     )  # [B, n_win, ch, cw, 3]
     flat = windows.reshape(b * n_win, ch, cw, -1)
+
+    if window_sharding is not None:
+        flat = jax.lax.with_sharding_constraint(flat, window_sharding)
 
     # 2. batched forward (logits may come back at head resolution)
     if window_batch and window_batch < b * n_win:

@@ -82,23 +82,30 @@ def _exp2(x: jnp.ndarray) -> jnp.ndarray:
     if _FAST_EXP2 and x.dtype == jnp.float32:
         return _exp2_poly(x)
     return jnp.exp2(x)
-# Budget for the fp32 score tile in VMEM.  Half the 16 MB/core: the softmax
-# chain can hold a second score-sized temporary (exp / mask iota) alive, and
-# K/V tiles + compiler scratch take the rest (an 10.6 MB tile OOMed at
-# N=8320; 832-row tiles measured within 2% of 1664-row ones at N=1664).
-_SCORE_VMEM_BUDGET = 8 * 1024 * 1024
+# Scoped-VMEM model for the q-tile search.  Mosaic's scoped allocation is
+# 16 MB/core; besides `score_bufs` fp32 score tiles the kernel keeps one
+# score-sized temporary for the exp chain alive, plus the DOUBLE-BUFFERED
+# K/V input blocks ([n_pad, 128] bf16 x 2 arrays x 2 buffers — their index
+# map varies over the outer grid axes, so Mosaic pipelines them), plus
+# small q/o tiles and compiler scratch.  A flat score budget ignored the
+# K/V term and OOMed at N=8320 (17.58 M > 16 M) once the budget was raised
+# to buy the 832-row tile at the slide shape.
+_VMEM_SCOPED = 14 * 1024 * 1024  # 16 MB minus q/o tiles + scratch headroom
 
 
 def _pick_block_q(n_pad: int, requested: int, score_bufs: int = 1) -> int:
-    """Largest 128-multiple divisor of n_pad whose fp32 score tile fits VMEM.
+    """Largest 8-multiple divisor of n_pad whose working set fits VMEM.
 
     Bigger q-tiles amortize the per-program K/V residency and MXU ramp-up:
-    at N=1601 (pad 1664) a single 1664-row tile measured 2.45 ms/layer vs
-    2.96 ms for 512-row tiles.  `requested` caps the search (0 = no cap);
-    `score_bufs` scales the budget for kernels holding several score tiles.
+    at N=1601 (pad 1664) an 832-row tile measured within 2% of a single
+    1664-row one (which OOMs), and 2x faster than 512-row tiles.
+    `requested` caps the search (0 = no cap); `score_bufs` is how many
+    score-sized fp32 tiles the kernel holds at once (forward 1, backward 3).
     """
     cap = requested if requested > 0 else n_pad
-    budget = _SCORE_VMEM_BUDGET // max(score_bufs, 1)
+    kv_bytes = n_pad * _LANE * 2 * 2 * 2  # bf16, K+V, double-buffered
+    budget = max(_VMEM_SCOPED - kv_bytes, 1024 * 1024)
+    per_tile = budget // (max(score_bufs, 1) + 1)  # +1: exp-chain temporary
     best = 8
     # Mosaic needs the q-tile (second-to-last block dim) to be a multiple of
     # 8 sublanes only; search all 8-multiple divisors of n_pad.
@@ -107,7 +114,7 @@ def _pick_block_q(n_pad: int, requested: int, score_bufs: int = 1) -> int:
             continue
         if bq > cap:
             break
-        if bq * n_pad * 4 <= budget:
+        if bq * n_pad * 4 <= per_tile:
             best = bq
     return best
 

@@ -234,6 +234,29 @@ def test_aug_test_slide_mode(tiny_inferencer):
     assert np.isfinite(out["seg_logits"]).all()
 
 
+def test_slide_window_sharding_matches_unsharded(tiny_inferencer):
+    """Windows of ONE frame spread across the mesh (SPMD over the window
+    batch) must produce the same logits as the single-device program — the
+    reference's DDP can only shard whole images (train_denseclip.py:242),
+    so a latency-critical frame saturates one GPU; here it scales over ICI.
+    """
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    imgs = np.random.RandomState(12).randint(
+        0, 255, (1, 64, 128, 3), dtype=np.uint8)
+    base = tiny_inferencer.predict(imgs, mode="slide", crop=(32, 64),
+                                   stride=(16, 48))
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    sharded = tiny_inferencer.predict(
+        imgs, mode="slide", crop=(32, 64), stride=(16, 48),
+        window_sharding=NamedSharding(mesh, P("data")),
+    )
+    np.testing.assert_allclose(
+        base["seg_logits"], sharded["seg_logits"], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(base["depth"], sharded["depth"],
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_graft_entry_dryrun_multichip():
     import importlib.util, os
 
