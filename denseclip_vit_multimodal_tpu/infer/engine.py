@@ -161,6 +161,24 @@ class Inferencer:
             self._jit_cache[key] = jax.jit(run)
         return self._jit_cache[key]
 
+    def _replicated_for(self, sharding, tree):
+        """device_put `tree` fully replicated over `sharding`'s mesh.
+
+        Model variables/texts are cached (they don't change between calls);
+        the per-call image is placed directly.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        replicated = NamedSharding(sharding.mesh, PartitionSpec())
+        variables, texts, image = tree
+        key = ("replicated_inputs", sharding.mesh)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.device_put(
+                (variables, texts), replicated
+            )
+        variables, texts = self._jit_cache[key]
+        return variables, texts, jax.device_put(image, replicated)
+
     # --- public API ---
 
     def preprocess(self, images: np.ndarray) -> jnp.ndarray:
@@ -186,9 +204,17 @@ class Inferencer:
                 self.variables, image, self.texts
             )
         elif mode == "slide":
+            variables, texts = self.variables, self.texts
+            if window_sharding is not None:
+                # Checkpoint-restored arrays are committed to one device;
+                # replicate params/texts/image over the sharding's mesh so
+                # the SPMD window constraint has compatible inputs.
+                variables, texts, image = self._replicated_for(
+                    window_sharding, (variables, texts, image)
+                )
             seg_logits, depth = self._slide_fn(
                 tuple(crop), tuple(stride), window_batch, window_sharding
-            )(self.variables, image, self.texts)
+            )(variables, image, texts)
         else:
             raise ValueError(f"Unknown inference mode: {mode}")
         out = {

@@ -134,7 +134,10 @@ def validate(
     train_denseclip.py:293-686, but device-reduced instead of rank-0).
 
     `visualize_to` saves a prediction panel PNG for the first sample
-    (reference visualize_multi_task, train_denseclip.py:658-681)."""
+    (reference visualize_multi_task, train_denseclip.py:658-681) plus a
+    best-accuracy-batch comparison panel alongside it (reference tracks the
+    highest per-batch seg accuracy and renders that sample,
+    train_denseclip.py:597-609 + visualize_comparison :846-890)."""
     data_ways = mesh.shape["data"] if mesh is not None else 1
 
     def padded_batches():
@@ -160,6 +163,8 @@ def validate(
     depth_count_total = None
     losses: Dict[str, list] = {}
     n_batches = 0
+    best_batch_acc = -1.0
+    best_sample = None  # host copies of the best-accuracy batch's sample 0
     for batch in device_prefetch(padded_batches(), mesh=mesh):
         results = eval_step(state, batch)
         if visualize_to and n_batches == 0 and jax.process_index() == 0:
@@ -184,6 +189,20 @@ def validate(
         if "confusion" in results:
             cm = results["confusion"]
             cm_total = cm if cm_total is None else cm_total + cm
+            if visualize_to and jax.process_index() == 0:
+                acc = float(accuracy_from_confusion(cm))
+                if acc > best_batch_acc:
+                    best_batch_acc = acc
+                    best_sample = {
+                        "image": np.asarray(batch["image"][0], np.uint8),
+                        "seg_pred": np.asarray(results["seg_pred"][0]),
+                        "seg_gt": np.asarray(batch["seg"][0])
+                        if "seg" in batch else None,
+                        "depth_pred": np.asarray(results["depth_pred"][0])
+                        if "depth_pred" in results else None,
+                        "depth_gt": np.asarray(batch["depth"][0])
+                        if "depth" in batch else None,
+                    }
         if "depth_sums" in results:
             ds, dc = results["depth_sums"], results["depth_count"]
             if depth_sums_total is None:
@@ -208,6 +227,24 @@ def validate(
         metrics.update({f"depth_{k}": float(v) for k, v in depth.items()})
     for k, vals in losses.items():
         metrics[f"val_{k}"] = float(np.mean(vals))
+    if best_sample is not None:
+        try:
+            from denseclip_vit_multimodal_tpu.utils.visualize import (
+                save_multi_task_panel,
+            )
+
+            d, b = os.path.split(visualize_to)
+            save_multi_task_panel(
+                os.path.join(d, f"best_{b}"),
+                best_sample["image"],
+                best_sample["seg_pred"],
+                seg_gt=best_sample["seg_gt"],
+                depth_pred=best_sample["depth_pred"],
+                depth_gt=best_sample["depth_gt"],
+                title=f"best batch accuracy {best_batch_acc * 100:.2f}%",
+            )
+        except Exception as e:  # visualization must never kill eval
+            logger.warning("best-image visualization failed: %s", e)
     logger.info("validation: %s", {k: round(v, 4) for k, v in metrics.items()})
     return metrics
 

@@ -78,6 +78,11 @@ def test_train_validate_checkpoint_resume(tmp_path):
     assert os.path.exists(
         os.path.join(work, "visualizations", "epoch_0.png")
     )
+    # best-accuracy-batch comparison panel (reference train_denseclip.py:
+    # 597-609 best-image tracking + visualize_comparison :846-890)
+    assert os.path.exists(
+        os.path.join(work, "visualizations", "best_epoch_0.png")
+    )
 
     # resume: continue to epoch 3 from the saved state
     cfg3 = _tiny_cfg(tmp_path, epochs=3)

@@ -8,6 +8,8 @@ Workloads (BASELINE.md / driver configs):
   4. train_step_frozen_text_batch16   — training step, batch 16
   5. aug_test_slide_3scale_flip       — multi-scale+flip slide aug_test
   6. train_step_unfrozen_backbone     — heritage recipe, live ViT backward
+  7. slide_batch4                     — full-frame slide inference, batch 4
+                                        (serving throughput: 40 windows/step)
   (ViT-L: run with --config configs/denseclip_vitl14_cityscapes_multitask.yaml)
 
 All timings use the device-side fori_loop methodology (see bench.py): this
@@ -55,7 +57,8 @@ def device_loop_time(fn, args, iters: int) -> float:
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="configs/denseclip_vitb16_cityscapes_multitask.yaml")
-    p.add_argument("--workloads", type=int, nargs="*", default=[1, 2, 3, 4, 5, 6])
+    p.add_argument("--workloads", type=int, nargs="*",
+                   default=[1, 2, 3, 4, 5, 6, 7])
     p.add_argument("--iters", type=int, default=8)
     # slide protocol; ViT-L/14 needs a patch-divisible crop (644 = 46*14)
     p.add_argument("--crop", type=int, nargs=2, default=[640, 640])
@@ -128,6 +131,28 @@ def main(argv=None):
         img = jnp.zeros((1, 1024, 2048, 3), jnp.float32)
         dt = device_loop_time(one_frame, (variables, img), args.iters)
         emit("slide_1024x2048_multitask", 1.0 / dt, "images/sec")
+
+    if 7 in args.workloads:
+        # Batched slide: 4 frames = 40 windows per backbone launch — the
+        # serving-throughput shape (amortizes the per-step text encode,
+        # gather/scatter bookkeeping, and MXU ramp across a 4x window batch).
+        crop, stride = tuple(args.crop), tuple(args.stride)
+
+        def four_frames(v, im):
+            def wf(w):
+                out = model.apply(
+                    v, w, texts_j, train=False, resize_outputs=False
+                )
+                return jnp.concatenate(
+                    [out["seg"].astype(jnp.float32),
+                     out["depth"].astype(jnp.float32)], -1)
+            return slide_inference(wf, im, 40, crop=crop, stride=stride)
+
+        img = jnp.zeros((4, 1024, 2048, 3), jnp.float32)
+        dt = device_loop_time(
+            four_frames, (variables, img), max(args.iters // 2, 2)
+        )
+        emit("slide_1024x2048_multitask_batch4", 4.0 / dt, "images/sec")
 
     if 3 in args.workloads:
         img = jnp.zeros((4, 1024, 2048, 3), jnp.float32)

@@ -32,6 +32,9 @@ def parse_args(argv=None):
     p.add_argument("--aug-test", action="store_true",
                    help="multi-scale (0.5-1.75) + flip logit averaging")
     p.add_argument("--batch-size", type=int, default=1)
+    p.add_argument("--shard-windows", action="store_true",
+                   help="slide mode: spread each frame's windows across all "
+                        "devices (SPMD over the window batch)")
     p.add_argument("--max-samples", type=int, default=None)
     p.add_argument("--set", dest="overrides", nargs="*", default=[])
     return p.parse_args(argv)
@@ -93,6 +96,15 @@ def main(argv=None):
         with_depth=bool(cfg.model.get("depth_head")),
     )
 
+    window_sharding = None
+    if args.shard_windows and args.mode == "slide" and len(jax.devices()) > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        window_sharding = NamedSharding(
+            Mesh(np.asarray(jax.devices()), ("data",)), PartitionSpec("data")
+        )
+        print(f"sharding slide windows over {len(jax.devices())} devices")
+
     cm = None
     d_sums, d_count = None, None
     seen = 0
@@ -102,7 +114,8 @@ def main(argv=None):
                                  crop=tuple(args.crop), stride=tuple(args.stride))
         else:
             out = infer.predict(batch["image"], mode=args.mode,
-                                crop=tuple(args.crop), stride=tuple(args.stride))
+                                crop=tuple(args.crop), stride=tuple(args.stride),
+                                window_sharding=window_sharding)
         if "seg" in batch:
             c = confusion_matrix(
                 jnp.asarray(out["seg"]), jnp.asarray(batch["seg"]),
