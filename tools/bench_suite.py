@@ -146,7 +146,7 @@ def main(argv=None):
                 return jnp.concatenate(
                     [out["seg"].astype(jnp.float32),
                      out["depth"].astype(jnp.float32)], -1)
-            return slide_inference(wf, im, 40, crop=crop, stride=stride)
+            return slide_inference(wf, im, 20, crop=crop, stride=stride)
 
         img = jnp.zeros((4, 1024, 2048, 3), jnp.float32)
         dt = device_loop_time(
@@ -260,8 +260,28 @@ def main(argv=None):
         )
         emit("aug_test_slide_3scale_flip_1024x2048", 1.0 / dt, "images/sec")
 
-    with open(f"bench_suite_results{args.tag}.json", "w") as f:
-        json.dump(results, f, indent=1)
+    # Merge by metric name so a partial `--workloads` run refreshes its own
+    # entries without clobbering the rest of the recorded suite.
+    path = f"bench_suite_results{args.tag}.json"
+    merged = []
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                merged = [
+                    r for r in json.load(f)
+                    if r["metric"] not in {x["metric"] for x in results}
+                ]
+        except Exception:
+            merged = []
+    order = {n + args.tag: i for i, n in enumerate((
+        "vit_b16_512x512_seg_forward", "slide_1024x2048_multitask",
+        "slide_1024x2048_multitask_batch4", "whole_1024x2048_multitask_batch4",
+        "train_step_frozen_text_batch16", "train_step_unfrozen_backbone_batch8",
+        "aug_test_slide_3scale_flip_1024x2048",
+    ))}
+    merged = sorted(merged + results, key=lambda r: order.get(r["metric"], 99))
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=1)
 
 
 if __name__ == "__main__":
