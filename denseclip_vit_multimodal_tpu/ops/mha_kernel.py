@@ -103,7 +103,13 @@ def _pick_block_q(n_pad: int, requested: int, score_bufs: int = 1) -> int:
     score-sized fp32 tiles the kernel holds at once (forward 1, backward 3).
     """
     cap = requested if requested > 0 else n_pad
-    kv_bytes = n_pad * _LANE * 2 * 2 * 2  # bf16, K+V, double-buffered
+    # bf16, K+V; double-buffered at window shapes.  At whole-frame sizes the
+    # double-buffer charge is empirically too conservative: on v5e at
+    # N=8320 a 128-row tile (score+temp+K/V nominally 17.0 M) compiles and
+    # runs 2.5% faster than the 80-row tile the full charge allows, while
+    # 208 rows genuinely OOMs — so charge K/V single-buffered there.
+    kv_buffers = 2 if n_pad < 8192 else 1
+    kv_bytes = n_pad * _LANE * 2 * 2 * kv_buffers
     budget = max(_VMEM_SCOPED - kv_bytes, 1024 * 1024)
     per_tile = budget // (max(score_bufs, 1) + 1)  # +1: exp-chain temporary
     best = 8
