@@ -17,6 +17,11 @@ Behavioural contract with the reference:
     `context_length`, raising if too long unless truncate (utils.py:295-314).
 
 Returns numpy int32 arrays (not torch tensors) — the JAX-facing API.
+
+Provenance: the merge loop implements the canonical OpenAI CLIP BPE
+algorithm (github.com/openai/CLIP simple_tokenizer), which must be
+reproduced bit-exactly — any deviation changes token ids and breaks
+compatibility with pretrained CLIP text towers (golden tests pin this).
 """
 
 from __future__ import annotations

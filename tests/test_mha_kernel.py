@@ -175,3 +175,24 @@ def test_bhnd_kernel_backward_bf16_close():
     np.testing.assert_allclose(
         np.asarray(g16), np.asarray(g32), rtol=6e-2, atol=6e-2
     )
+
+
+def test_pick_block_q_vmem_model():
+    """Pin the q-tile search at the shapes the model serves (measured on
+    v5e): slide windows (N=1601 -> pad 1664) take the 832-row tile with
+    K/V charged double-buffered; whole-frame (N=8193 -> pad 8320) relaxes
+    the K/V charge to single-buffered and takes 128 rows (80 with the full
+    charge was 2.5% slower; 208 OOMs Mosaic's scoped VMEM).  Every pick
+    must divide padded N and be a multiple of 8 sublanes."""
+    from denseclip_vit_multimodal_tpu.ops.mha_kernel import _pick_block_q
+
+    assert _pick_block_q(1664, 0) == 832
+    assert _pick_block_q(1664, 0, score_bufs=3) == 416  # backward: 3 tiles
+    assert _pick_block_q(8320, 0) == 128
+    assert _pick_block_q(8448, 0) == 128
+    for n_pad in (256, 1664, 2176, 8320, 8448):
+        for bufs in (1, 3):
+            bq = _pick_block_q(n_pad, 0, score_bufs=bufs)
+            assert n_pad % bq == 0 and bq % 8 == 0
+    # `requested` caps the search
+    assert _pick_block_q(1664, 416) == 416
