@@ -289,3 +289,65 @@ def test_composite_train_mode_gt_resize(parity_pair):
     )[0]
     assert ours["seg"].shape == (2, 64, 96, 19)
     assert ours["depth"].shape == (2, 64, 96, 1)
+
+
+def test_reference_resnet_composite_is_dead_code(ref_pkg):
+    """Document WHY there is no end-to-end RN composite parity test.
+
+    The in-repo reference's `CLIPResNetWithAttention` composite path cannot
+    execute: (1) `AttentionPool2d.forward` reads `self.spacial_dim`, which
+    `__init__` never stores (models.py:125) — the backbone crashes on any
+    input; (2) even with that shimmed, the backbone's last output element is
+    the nested pair `[global, local]` (models.py:239), which
+    `DenseCLIP.extract_feat` rejects ("contains non-Tensor elements") and
+    maps to an EMPTY feature list (denseclip.py:545-548), which
+    `_process_features` then refuses (denseclip.py:596-597).
+
+    Our RN path therefore follows the heritage mmseg config spec (FPN over
+    the c1..c4 stage pyramid with score-map concat, reference
+    configs/denseclip_fpn_res50_512x512_80k.py:40) with the attnpool crash
+    fixed by construction; module-level parity for the towers lives in
+    tests/test_resnet_import_parity.py.
+    """
+    ref_dc = ref_pkg
+    ref_models = sys.modules["denseclip.models"]
+    import torch
+    import torch.nn as nn
+
+    rn = ref_models.CLIPResNetWithAttention(
+        layers=[1, 1, 1, 1], output_dim=32, input_resolution=64, width=16
+    ).eval()
+
+    # (1) the unshimmed backbone crashes on the unstored spacial_dim
+    with pytest.raises(AttributeError, match="spacial_dim"):
+        with torch.no_grad():
+            rn(torch.randn(1, 3, 64, 64))
+
+    # (2) with the crash shimmed (and the keyword-only
+    # multi_head_attention_forward call adapted to this torch version, as in
+    # test_resnet_import_parity), extract_feat maps the 6-tuple to []
+    rn.attnpool.spacial_dim = 64 // 32
+    import torch.nn.functional as F
+
+    orig = F.multi_head_attention_forward
+
+    def shim(**kw):
+        kw.setdefault("in_proj_weight", None)
+        kw.setdefault("bias_k", None)
+        kw.setdefault("bias_v", None)
+        kw.setdefault("add_zero_attn", False)
+        kw.setdefault("dropout_p", 0.0)
+        return orig(**kw)
+
+    F.multi_head_attention_forward = shim
+    try:
+        host = ref_dc.DenseCLIP.__new__(ref_dc.DenseCLIP)
+        nn.Module.__init__(host)
+        host.backbone = rn
+        with torch.no_grad():
+            feats = ref_dc.DenseCLIP.extract_feat(
+                host, torch.randn(1, 3, 64, 64)
+            )
+    finally:
+        F.multi_head_attention_forward = orig
+    assert feats == []
