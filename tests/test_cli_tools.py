@@ -1,0 +1,89 @@
+"""CLI smoke tests: every tools/ entry point runs end to end via main(argv).
+
+The underlying library functions have their own tests; these cover the CLI
+wiring itself (argparse schema, config resolution, checkpoint plumbing,
+output files) — the surfaces a reference user actually invokes
+(reference: segmentation/train_denseclip.py:75-96 CLI, test.py, get_flops.py).
+Tiny model overrides keep CPU compiles fast.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+CONFIG = "configs/denseclip_vitb16_cityscapes_multitask.yaml"
+TINY = [
+    "model.backbone.width=32", "model.backbone.layers=2",
+    "model.backbone.heads=2", "model.backbone.out_indices=[0,1]",
+    "model.text_encoder.transformer_layers=2",
+    "model.text_encoder.transformer_width=32",
+    "model.text_encoder.transformer_heads=2",
+    "model.text_encoder.embed_dim=16", "model.text_dim=16",
+    "model.token_embed_dim=32",
+    "model.context_decoder.transformer_width=16",
+    "model.context_decoder.transformer_heads=2",
+    "model.context_decoder.transformer_layers=1",
+    "model.neck.inter_channels=8", "model.neck.out_channels=16",
+    "model.decode_head.in_channels=16", "model.decode_head.channels=16",
+    "model.depth_head.in_channels=16", "model.depth_head.channels=8",
+    "data.crop_size=[64,128]", "data.synthetic=true",
+    "data.synthetic_options={length: 8, image_size: [128, 256]}",
+    "training.epochs=1", "training.batch_size=8", "training.workers=2",
+    "training.eval_interval=1", "training.save_interval=1",
+    "training.log_interval=1", "tpu.compute_dtype=float32",
+]
+
+
+@pytest.fixture(scope="module")
+def work_dir(tmp_path_factory):
+    """Train 2 steps through the real CLI; later tools consume the work dir."""
+    import train as train_cli
+
+    wd = str(tmp_path_factory.mktemp("cli_run"))
+    train_cli.main([CONFIG, "--work-dir", wd, "--max-steps", "2",
+                    "--seed", "3", "--set", *TINY])
+    return wd
+
+
+def test_train_cli_artifacts(work_dir):
+    assert os.path.exists(os.path.join(work_dir, "final_config.yaml"))
+    assert os.path.exists(os.path.join(work_dir, "validation_metrics.csv"))
+    assert "latest" in os.listdir(os.path.join(work_dir, "checkpoints"))
+
+
+def test_test_cli_eval(work_dir, capsys):
+    import test as test_cli
+
+    test_cli.main([CONFIG, work_dir, "--eval", "mIoU", "depth",
+                   "--mode", "whole", "--max-samples", "2",
+                   "--set", *TINY])
+    out = capsys.readouterr().out
+    assert "mIoU" in out and "depth/rmse" in out
+
+
+def test_infer_cli_writes_pngs(work_dir, tmp_path):
+    from PIL import Image
+
+    import infer as infer_cli
+
+    img = tmp_path / "frame.png"
+    Image.fromarray(
+        np.random.RandomState(0).randint(0, 255, (128, 256, 3), np.uint8)
+    ).save(img)
+    out = tmp_path / "outputs"
+    infer_cli.main([CONFIG, work_dir, str(img), "-o", str(out),
+                    "--set", *TINY])
+    written = os.listdir(out)
+    assert any("seg" in f for f in written), written
+
+
+def test_get_flops_cli(capsys):
+    import get_flops as flops_cli
+
+    flops_cli.main([CONFIG, "--shape", "64", "128", "--set", *TINY])
+    out = capsys.readouterr().out
+    assert "FLOPs" in out or "flops" in out.lower()
