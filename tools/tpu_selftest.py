@@ -52,7 +52,11 @@ def main():
         w = jax.nn.softmax(s, axis=-1).astype(q.dtype)
         return jnp.einsum("bhnm,bmhd->bnhd", w, v)
 
-    for n, dtype, tol in ((1601, jnp.bfloat16, 2e-2), (1024, jnp.float32, 1e-3)):
+    # fp32 tolerance 5e-3, not 1e-3: the TPU MXU runs fp32 matmuls at
+    # DEFAULT (bf16-pass) precision, and the kernel's operand-folded scale /
+    # deferred division reorder rounding vs the XLA reference.  Bit-level
+    # fp32 exactness is covered by the CPU interpret-mode tests.
+    for n, dtype, tol in ((1601, jnp.bfloat16, 2e-2), (1024, jnp.float32, 5e-3)):
         shape = (2, n, 12, 64)
         kq, kk, kv = jax.random.split(jax.random.PRNGKey(n), 3)
         q = jax.random.normal(kq, shape, dtype)
@@ -78,6 +82,22 @@ def main():
     ref = xla_attn(q, k, v)
     got = mha_attention(padded(q), padded(k), padded(v), valid_len=n)[:, :n]
     check("valid_len masking (pad 1500->1536)", got, ref, 2e-2)
+
+    # opt-in int8 path (quantization budget, not bit-exact)
+    from denseclip_vit_multimodal_tpu.ops.mha_kernel import (
+        mha_qkv_attention_int8,
+    )
+
+    n = 1601
+    shape = (2, n, 12, 64)
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(11), 3)
+    q = jax.random.normal(kq, shape, jnp.bfloat16)
+    k = jax.random.normal(kk, shape, jnp.bfloat16)
+    v = jax.random.normal(kv, shape, jnp.bfloat16)
+    ref = xla_attn(q, k, v)
+    qkv = jnp.concatenate([x.reshape(2, n, -1) for x in (q, k, v)], axis=-1)
+    check("int8 kernel N=1601 (quantized, tol 0.35)",
+          mha_qkv_attention_int8(qkv, 12).reshape(shape), ref, 0.35)
 
     # long-sequence bundled flash path (whole-frame sizes)
     n = 8193
