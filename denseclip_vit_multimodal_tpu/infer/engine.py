@@ -164,19 +164,31 @@ class Inferencer:
     def _replicated_for(self, sharding, tree):
         """device_put `tree` fully replicated over `sharding`'s mesh.
 
-        Model variables/texts are cached (they don't change between calls);
-        the per-call image is placed directly.
+        Model variables/texts are cached per (mesh, source objects) — the
+        cache holds a reference to the SOURCE trees and verifies identity on
+        every call, so reassigning `self.variables` (e.g. loading a new
+        checkpoint into a live Inferencer) invalidates it rather than
+        silently serving stale replicated weights.  The per-call image is
+        placed directly.
         """
         from jax.sharding import NamedSharding, PartitionSpec
 
         replicated = NamedSharding(sharding.mesh, PartitionSpec())
         variables, texts, image = tree
         key = ("replicated_inputs", sharding.mesh)
-        if key not in self._jit_cache:
-            self._jit_cache[key] = jax.device_put(
-                (variables, texts), replicated
+        cached = self._jit_cache.get(key)
+        if (
+            cached is None
+            or cached[0] is not variables
+            or cached[1] is not texts
+        ):
+            cached = (
+                variables,
+                texts,
+                jax.device_put((variables, texts), replicated),
             )
-        variables, texts = self._jit_cache[key]
+            self._jit_cache[key] = cached
+        variables, texts = cached[2]
         return variables, texts, jax.device_put(image, replicated)
 
     # --- public API ---

@@ -108,7 +108,10 @@ def _pick_block_q(n_pad: int, requested: int, score_bufs: int = 1) -> int:
     # N=8320 a 128-row tile (score+temp+K/V nominally 17.0 M) compiles and
     # runs 2.5% faster than the 80-row tile the full charge allows, while
     # 208 rows genuinely OOMs — so charge K/V single-buffered there.
-    kv_buffers = 2 if n_pad < 8192 else 1
+    # FORWARD only (score_bufs == 1): the backward additionally keeps
+    # VMEM-resident fp32 dk/dv output blocks alive, and its relaxed picks
+    # were never measured on hardware — keep the conservative charge.
+    kv_buffers = 2 if (n_pad < 8192 or score_bufs > 1) else 1
     kv_bytes = n_pad * _LANE * 2 * 2 * kv_buffers
     budget = max(_VMEM_SCOPED - kv_bytes, 1024 * 1024)
     per_tile = budget // (max(score_bufs, 1) + 1)  # +1: exp-chain temporary
@@ -535,8 +538,9 @@ def mha_qkv_attention(
 # EXACT fp32 in-kernel with the dequant multiplier folded into the exp2
 # input; the probability tile re-quantizes with the fixed scale 127 (the
 # max-shifted unnormalized row max is exactly exp2(0) = 1), and the
-# denominator is computed from the SAME quantized tile so normalization is
-# self-consistent.  No reference equivalent (torch/cuDNN fp16/fp32 only);
+# denominator comes from the pre-quantization fp32 tile (~0.4% mismatch vs
+# the quantized numerator — inside the int8 error budget, and one VPU pass
+# cheaper).  No reference equivalent (torch/cuDNN fp16/fp32 only);
 # this path intentionally trades bit-parity for throughput and is gated
 # behind `tpu.attn_impl: int8`.  Backward: straight-through — the VJP runs
 # the bf16 Pallas backward on the pre-quantization qkv.
@@ -544,15 +548,18 @@ def mha_qkv_attention(
 
 
 def _qkv_int8_kernel(n_real: int, scale: float, heads_per_block: int,
-                     zeroed_pads: bool,
                      q_ref, k_ref, v_ref, sc_ref, o_ref):
     # VPU-pass budget: the int8 MXU pair runs ~1.14 ms at the slide shape,
     # so the elementwise work over the [bq, N] tile must stay at the bf16
-    # kernel's ~5 passes to overlap.  Hence: truncating casts (no
-    # round/clip — p*127 <= 127 by construction), the fp32 denominator
+    # kernel's ~5 passes to overlap.  Hence truncating casts (no
+    # round/clip — p*127 <= 127 by construction) and the fp32 denominator
     # from the PRE-quantization tile (~0.4% normalization mismatch, inside
-    # the int8 error budget), and no pad-column work at all for the
-    # quantized PV (zeroed v rows contribute exact zeros).
+    # the int8 error budget).  Pad columns are ALWAYS -inf-masked here:
+    # the bf16 kernel's cheaper zeroed-pads denominator correction is
+    # unsound under the fixed-127 probability scale — a row whose real
+    # scores all sit below the pads' 0 would see its max pulled to 0 and
+    # every real p*127 truncate to zero (100% error), so the mask pass is
+    # the price of correctness on this path.
     d = q_ref.shape[-1] // heads_per_block
     n_pad = k_ref.shape[1]
     for h in range(heads_per_block):
@@ -570,15 +577,12 @@ def _qkv_int8_kernel(n_real: int, scale: float, heads_per_block: int,
         # cast (the bf16 kernel folds this into the q operand; int8 operands
         # cannot carry it)
         sf = s.astype(jnp.float32) * (sq * sk * scale * _LOG2E)
-        if not zeroed_pads and n_pad != n_real:
+        if n_pad != n_real:
             col = jax.lax.broadcasted_iota(jnp.int32, sf.shape, 1)
             sf = jnp.where(col < n_real, sf, jnp.finfo(jnp.float32).min)
         m = jnp.max(sf, axis=-1, keepdims=True)
         p = jnp.exp2(sf - m)
         denom = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
-        if zeroed_pads and n_pad != n_real:
-            # zeroed pad columns each contribute exactly exp2(-m)
-            denom = denom - (n_pad - n_real) * jnp.exp2(-m)
         # +0.5 makes the truncating cast round half-up (p >= 0): one
         # fused add instead of a round+clip pass
         p8 = (p * 127.0 + 0.5).astype(jnp.int8)
@@ -641,7 +645,6 @@ def _qkv_int8_fwd_impl(qkv, num_heads, scale, block_q, interpret,
     out = pl.pallas_call(
         functools.partial(
             _qkv_int8_kernel, real_n, scale, heads_per_block,
-            valid_len is None,
         ),
         grid=grid,
         in_specs=[q_spec, k_spec, v_spec, sc_spec],

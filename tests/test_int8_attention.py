@@ -46,15 +46,30 @@ def test_int8_kernel_valid_len_masks_pad_keys():
     assert _rel_err(out[:, :200], ref[:, :200]) < REL_TOL
 
 
-def test_int8_kernel_pad_rows_are_exactly_corrected():
-    """Row-padding to the 128-lane boundary must not change valid outputs
-    beyond quantization noise: compare a 200-token input (padded to 256
-    in-kernel) against the same tokens without any padding effect."""
+def test_int8_kernel_pad_columns_cannot_dominate_the_max():
+    """Adversarial pad case: every REAL score far below zero while the
+    in-kernel zero pad columns sit at exactly 0.  If pads participated in
+    the row max (as the bf16 kernel's cheap zeroed-pads trick allows),
+    every real probability would truncate to p8 = 0 under the fixed 127
+    scale and the output would be exactly zero — the int8 kernel must
+    therefore -inf-mask pad columns before the max."""
     rng = np.random.RandomState(2)
-    base = rng.randn(1, 200, 3 * 128).astype(np.float32)
-    out = mha_qkv_attention_int8(jnp.asarray(base), 2, interpret=True)
-    ref = _qkv_ref(jnp.asarray(base), 2, 64 ** -0.5)
-    assert _rel_err(out, ref) < REL_TOL
+    hd = 128
+    # all-negative q against all-positive k => every real score is strongly
+    # negative after the 20x magnification
+    q = -np.abs(rng.randn(1, 200, hd)).astype(np.float32) * 20.0
+    k = np.abs(rng.randn(1, 200, hd)).astype(np.float32)
+    v = rng.randn(1, 200, hd).astype(np.float32)
+    qkv = jnp.asarray(np.concatenate([q, k, v], axis=-1))
+    out = mha_qkv_attention_int8(qkv, 2, interpret=True)
+    ref = _qkv_ref(qkv, 2, 64 ** -0.5)
+    assert float(jnp.max(jnp.abs(out))) > 1e-3  # not silently zeroed
+    # looser than REL_TOL: the 20x score magnification that forces the
+    # adversarial regime also stresses q/k quantization itself (near-one-hot
+    # softmax rows flip under score noise); the property under test is the
+    # pad mask, and an unmasked max would fail the zero check above AND
+    # produce ~100% error here
+    assert _rel_err(out, ref) < 0.25
 
 
 def test_int8_straight_through_backward():

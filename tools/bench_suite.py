@@ -68,6 +68,10 @@ def main(argv=None):
                    help="override tpu.attn_impl (e.g. int8 for the "
                         "quantized serving path)")
     args = p.parse_args(argv)
+    if args.attn_impl and not args.tag:
+        # keep the canonical (config-default) numbers in the tracked results
+        # file from being overwritten by an experimental-impl run
+        args.tag = f"_{args.attn_impl}"
 
     import jax
     import jax.numpy as jnp
@@ -273,11 +277,16 @@ def main(argv=None):
     if os.path.exists(path):
         try:
             with open(path) as f:
-                merged = [
-                    r for r in json.load(f)
-                    if r["metric"] not in {x["metric"] for x in results}
-                ]
-        except Exception:
+                prior = json.load(f)
+            fresh = {x["metric"] for x in results}
+            merged = [
+                r for r in prior
+                if isinstance(r, dict) and r.get("metric") not in fresh
+            ]
+        except Exception as e:
+            # never silently drop the recorded suite over a parse problem
+            print(f"WARNING: could not merge existing {path}: {e}",
+                  file=sys.stderr)
             merged = []
     order = {n + args.tag: i for i, n in enumerate((
         "vit_b16_512x512_seg_forward", "slide_1024x2048_multitask",

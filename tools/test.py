@@ -97,7 +97,10 @@ def main(argv=None):
     )
 
     window_sharding = None
-    if args.shard_windows and args.mode == "slide" and len(jax.devices()) > 1:
+    if args.shard_windows and args.aug_test:
+        print("WARNING: --shard-windows is not supported with --aug-test; "
+              "running the multi-view average unsharded", file=sys.stderr)
+    elif args.shard_windows and args.mode == "slide" and len(jax.devices()) > 1:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
         window_sharding = NamedSharding(
