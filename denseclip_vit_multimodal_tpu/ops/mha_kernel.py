@@ -606,6 +606,13 @@ def _qkv_int8_fwd_impl(qkv, num_heads, scale, block_q, interpret,
     n_pad = -(-n // _LANE) * _LANE
     if n_pad != n:
         qkv = jnp.pad(qkv, ((0, 0), (0, n_pad - n), (0, 0)))
+    if valid_len is not None and valid_len < n:
+        # Rows in [valid_len, n) are caller padding with arbitrary content;
+        # zero them so the per-head abs-max (and hence the quantization
+        # scales) reflects only real tokens.  The kernel -inf-masks those
+        # score columns regardless, so the zeroing only affects the scales.
+        row = jnp.arange(n_pad) < valid_len
+        qkv = qkv * row[None, :, None].astype(qkv.dtype)
 
     # symmetric per-(batch, head) quantization of q/k/v: TWO passes over the
     # projection (abs-max reduce; bf16 multiply + truncating int8 cast).
@@ -629,7 +636,13 @@ def _qkv_int8_fwd_impl(qkv, num_heads, scale, block_q, interpret,
     )
     sc = jnp.concatenate([sc, jnp.zeros_like(sc[..., :1])], axis=-1)
 
-    bq = _pick_block_q(n_pad, block_q)
+    # The int8 kernel's per-head working set exceeds the bf16 model
+    # _pick_block_q was calibrated against: fp32 sf tile + fp32 p tile +
+    # int8 p8 tile live at once (~2.25 score-equivalents vs 1).  Charge it
+    # score_bufs=2 (with the +1 exp-chain temp that's 3 tile budgets); K/V
+    # are still charged at bf16 width though they are int8 here — extra
+    # headroom on the conservative side of Mosaic's scoped-VMEM limit.
+    bq = _pick_block_q(n_pad, block_q, score_bufs=2)
     lane_block = head_dim * heads_per_block
     grid = (b, n_lane_blocks, n_pad // bq)
     q_spec = pl.BlockSpec((1, bq, lane_block), lambda i, hh, j: (i, j, hh))

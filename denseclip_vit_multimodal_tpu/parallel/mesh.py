@@ -45,6 +45,12 @@ def maybe_initialize_distributed() -> None:
     computation) — once the backend exists single-process, initialize() fails.
     So the decision is made purely from the environment, never by querying
     the backend.
+
+    Launcher contract: managed environments (TPU pods, Slurm, OMPI) are
+    auto-detected by jax; ad-hoc launches (tools/dist_train.sh, tests) set
+      JAX_COORDINATOR_ADDRESS=host:port  JAX_NUM_PROCESSES=N  JAX_PROCESS_ID=i
+    — the latter two are this framework's extension (jax itself only reads
+    the coordinator address from the env) and are forwarded explicitly.
     """
     import os
 
@@ -56,7 +62,12 @@ def maybe_initialize_distributed() -> None:
     # already-initialized guard that does NOT touch the XLA backend
     if getattr(_dist.global_state, "client", None) is not None:
         return
-    jax.distributed.initialize()
+    kwargs = {}
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    jax.distributed.initialize(**kwargs)
 
 
 def make_mesh(
@@ -117,7 +128,21 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
-    """Replicate a pytree (params/state) across the mesh."""
+    """Replicate a pytree (params/state) across the mesh.
+
+    Multi-process: `jax.device_put` rejects COMMITTED single-device arrays
+    (e.g. `jax.jit(model.init)` outputs) when the target sharding spans
+    non-addressable devices, so route them through host memory first —
+    params are identical on every process by construction (same PRNG seed /
+    same checkpoint), which device_put's cross-process equality check
+    verifies.  Found by the live 2-process test
+    (tests/test_multiprocess_live.py); single-process placement is
+    unchanged.
+    """
+    if jax.process_count() > 1:
+        tree = jax.tree.map(
+            lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, tree
+        )
     return jax.device_put(tree, replicated_sharding(mesh))
 
 

@@ -193,14 +193,18 @@ def validate(
                 acc = float(accuracy_from_confusion(cm))
                 if acc > best_batch_acc:
                     best_batch_acc = acc
+                    # Keep DEVICE references only — fetching image/pred/depth
+                    # here would serialize the prefetched eval loop on every
+                    # accuracy improvement (several MB per fetch through the
+                    # ~1 MB/s relay).  The single host fetch happens once,
+                    # after the loop.
                     best_sample = {
-                        "image": np.asarray(batch["image"][0], np.uint8),
-                        "seg_pred": np.asarray(results["seg_pred"][0]),
-                        "seg_gt": np.asarray(batch["seg"][0])
-                        if "seg" in batch else None,
-                        "depth_pred": np.asarray(results["depth_pred"][0])
+                        "image": batch["image"][0],
+                        "seg_pred": results["seg_pred"][0],
+                        "seg_gt": batch["seg"][0] if "seg" in batch else None,
+                        "depth_pred": results["depth_pred"][0]
                         if "depth_pred" in results else None,
-                        "depth_gt": np.asarray(batch["depth"][0])
+                        "depth_gt": batch["depth"][0]
                         if "depth" in batch else None,
                     }
         if "depth_sums" in results:
@@ -234,13 +238,16 @@ def validate(
             )
 
             d, b = os.path.split(visualize_to)
+            fetch = lambda x, dt=None: (
+                None if x is None else np.asarray(x, dt)
+            )
             save_multi_task_panel(
                 os.path.join(d, f"best_{b}"),
-                best_sample["image"],
-                best_sample["seg_pred"],
-                seg_gt=best_sample["seg_gt"],
-                depth_pred=best_sample["depth_pred"],
-                depth_gt=best_sample["depth_gt"],
+                fetch(best_sample["image"], np.uint8),
+                fetch(best_sample["seg_pred"]),
+                seg_gt=fetch(best_sample["seg_gt"]),
+                depth_pred=fetch(best_sample["depth_pred"]),
+                depth_gt=fetch(best_sample["depth_gt"]),
                 title=f"best batch accuracy {best_batch_acc * 100:.2f}%",
             )
         except Exception as e:  # visualization must never kill eval

@@ -257,6 +257,99 @@ def test_slide_window_sharding_matches_unsharded(tiny_inferencer):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_aug_test_window_sharding_matches_unsharded(tiny_inferencer):
+    """--shard-windows now composes with --aug-test: every view's windows
+    spread over the mesh, same logits as the single-device program."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    imgs = np.random.RandomState(13).randint(
+        0, 255, (1, 64, 128, 3), dtype=np.uint8)
+    base = tiny_inferencer.aug_test(
+        imgs, scales=(0.5, 1.0), flip=True, mode="slide",
+        crop=(32, 64), stride=(16, 48),
+    )
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    sharded = tiny_inferencer.aug_test(
+        imgs, scales=(0.5, 1.0), flip=True, mode="slide",
+        crop=(32, 64), stride=(16, 48),
+        window_sharding=NamedSharding(mesh, P("data")),
+    )
+    np.testing.assert_allclose(
+        base["seg_logits"], sharded["seg_logits"], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(base["depth"], sharded["depth"],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_predict_fetch_modes(tiny_inferencer):
+    """fetch='argmax' skips the fp32 canvas; fetch='device' fetches nothing."""
+    imgs = np.random.RandomState(14).randint(
+        0, 255, (1, 32, 64, 3), dtype=np.uint8)
+    full = tiny_inferencer.predict(imgs, mode="whole")
+    arg = tiny_inferencer.predict(imgs, mode="whole", fetch="argmax")
+    assert "seg_logits" not in arg
+    np.testing.assert_array_equal(arg["seg"], full["seg"])
+    np.testing.assert_allclose(arg["depth"], full["depth"], rtol=1e-6)
+
+    dev = tiny_inferencer.predict(imgs, mode="whole", fetch="device")
+    assert isinstance(dev["seg"], jax.Array)
+    assert isinstance(dev["seg_logits"], jax.Array)
+    np.testing.assert_array_equal(np.asarray(dev["seg"]), full["seg"])
+
+    with pytest.raises(ValueError, match="fetch"):
+        tiny_inferencer.predict(imgs, mode="whole", fetch="nope")
+
+
+def test_predict_warns_on_sharding_with_whole_mode(tiny_inferencer):
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    imgs = np.random.RandomState(15).randint(
+        0, 255, (1, 32, 64, 3), dtype=np.uint8)
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+    sh = NamedSharding(mesh, P("data"))
+    with pytest.warns(UserWarning, match="window_sharding"):
+        tiny_inferencer.predict(imgs, mode="whole", window_sharding=sh)
+    with pytest.warns(UserWarning, match="window_sharding"):
+        tiny_inferencer.aug_test(imgs, scales=(1.0,), mode="whole",
+                                 window_sharding=sh)
+
+
+def test_eval_metrics_device_reduction_matches_host(tiny_inferencer):
+    """eval_metrics (device-side confusion + depth sums on fetch='device'
+    outputs) must equal the host-path metrics on fetched arrays."""
+    from denseclip_vit_multimodal_tpu.train.metrics import (
+        confusion_matrix,
+        depth_errors,
+    )
+
+    rng = np.random.RandomState(16)
+    imgs = rng.randint(0, 255, (2, 32, 64, 3), dtype=np.uint8)
+    seg_gt = rng.randint(0, 19, (2, 32, 64)).astype(np.int32)
+    seg_gt[0, :4] = 255  # ignore region
+    depth_gt = rng.uniform(0.0, 80.0, (2, 32, 64)).astype(np.float32)
+    depth_gt[1, :8] = 0.0  # invalid region
+
+    dev = tiny_inferencer.predict(imgs, mode="whole", fetch="device")
+    cm, sums, count = tiny_inferencer.eval_metrics(
+        dev, seg_gt=seg_gt, depth_gt=depth_gt)
+
+    host = tiny_inferencer.predict(imgs, mode="whole")
+    cm_ref = confusion_matrix(
+        jnp.asarray(host["seg"]), jnp.asarray(seg_gt), 19, 255)
+    sums_ref, count_ref = depth_errors(
+        jnp.asarray(host["depth"]), jnp.asarray(depth_gt),
+        jnp.asarray(depth_gt) > 0, max_depth=80.0)
+
+    np.testing.assert_allclose(np.asarray(cm), np.asarray(cm_ref), rtol=1e-6)
+    assert float(count) == float(count_ref)
+    for k in sums_ref:
+        np.testing.assert_allclose(
+            float(sums[k]), float(sums_ref[k]), rtol=1e-5)
+    # seg-only batch: no depth operands
+    cm2, s2, c2 = tiny_inferencer.eval_metrics(dev, seg_gt=seg_gt)
+    assert s2 is None and c2 is None
+    np.testing.assert_allclose(np.asarray(cm2), np.asarray(cm_ref), rtol=1e-6)
+
+
 def test_graft_entry_dryrun_multichip():
     import importlib.util, os
 

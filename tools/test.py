@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -36,6 +37,9 @@ def parse_args(argv=None):
                    help="slide mode: spread each frame's windows across all "
                         "devices (SPMD over the window batch)")
     p.add_argument("--max-samples", type=int, default=None)
+    p.add_argument("--fetch-logits", action="store_true",
+                   help="also fetch the full fp32 logit canvas per batch "
+                        "(slow over a relay; metrics never need it)")
     p.add_argument("--set", dest="overrides", nargs="*", default=[])
     return p.parse_args(argv)
 
@@ -60,8 +64,6 @@ def main(argv=None):
     from denseclip_vit_multimodal_tpu.train.loop import class_names_for
     from denseclip_vit_multimodal_tpu.train.metrics import (
         accuracy_from_confusion,
-        confusion_matrix,
-        depth_errors,
         finalize_depth_errors,
         miou_from_confusion,
     )
@@ -97,50 +99,77 @@ def main(argv=None):
     )
 
     window_sharding = None
-    if args.shard_windows and args.aug_test:
-        print("WARNING: --shard-windows is not supported with --aug-test; "
-              "running the multi-view average unsharded", file=sys.stderr)
-    elif args.shard_windows and args.mode == "slide" and len(jax.devices()) > 1:
+    if args.shard_windows and args.mode == "slide" and len(jax.devices()) > 1:
         from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
         window_sharding = NamedSharding(
             Mesh(np.asarray(jax.devices()), ("data",)), PartitionSpec("data")
         )
-        print(f"sharding slide windows over {len(jax.devices())} devices")
+        print(f"sharding slide windows over {len(jax.devices())} devices"
+              + (" (aug-test views included)" if args.aug_test else ""))
+    elif args.shard_windows:
+        print("WARNING: --shard-windows needs --mode slide and >1 device; "
+              "running unsharded", file=sys.stderr)
 
+    # The eval loop is fully device-reduced: predictions stay on device
+    # (fetch='device'), the confusion matrix / depth-error sums accumulate
+    # there, and the host fetches only the tiny totals after the loop —
+    # never a logit canvas (reference eval contract test.py:155-157 at
+    # TPU-native speed).  `--fetch-logits` opts back into canvas fetches.
+    max_depth = float(data_cfg.get("depth_max", 80.0))
     cm = None
     d_sums, d_count = None, None
     seen = 0
+    seen_at_t0 = 0
+    t0 = time.perf_counter()
     for batch in loader.epoch(0):
         if args.aug_test:
             out = infer.aug_test(batch["image"], mode=args.mode,
-                                 crop=tuple(args.crop), stride=tuple(args.stride))
+                                 crop=tuple(args.crop),
+                                 stride=tuple(args.stride),
+                                 window_sharding=window_sharding,
+                                 fetch="device")
         else:
             out = infer.predict(batch["image"], mode=args.mode,
                                 crop=tuple(args.crop), stride=tuple(args.stride),
-                                window_sharding=window_sharding)
+                                window_sharding=window_sharding,
+                                fetch="device")
+        if args.fetch_logits:
+            np.asarray(out["seg_logits"])  # opt-in canvas fetch (slow on relay)
         if "seg" in batch:
-            c = confusion_matrix(
-                jnp.asarray(out["seg"]), jnp.asarray(batch["seg"]),
-                len(class_names), aug_cfg.ignore_index,
+            c, s, n = infer.eval_metrics(
+                out,
+                seg_gt=batch["seg"],
+                depth_gt=batch.get("depth"),
+                ignore_index=aug_cfg.ignore_index,
+                max_depth=max_depth,
             )
             cm = c if cm is None else cm + c
-        if "depth" in batch and "depth" in out:
-            mask = jnp.asarray(batch["depth"]) > 0
-            s, n = depth_errors(
-                jnp.asarray(out["depth"]), jnp.asarray(batch["depth"]), mask,
-                max_depth=float(data_cfg.get("depth_max", 80.0)),
-            )
-            if d_sums is None:
-                d_sums, d_count = s, n
-            else:
-                d_sums = jax.tree.map(jnp.add, d_sums, s)
-                d_count = d_count + n
+            if s is not None:
+                if d_sums is None:
+                    d_sums, d_count = s, n
+                else:
+                    d_sums = jax.tree.map(jnp.add, d_sums, s)
+                    d_count = d_count + n
         seen += batch["image"].shape[0]
+        if seen_at_t0 == 0:
+            # first batch pays compilation: restart the throughput clock
+            # after it completes (drain the device queue via a tiny fetch)
+            if cm is not None:
+                float(jnp.sum(cm))
+            seen_at_t0 = seen
+            t0 = time.perf_counter()
         if args.max_samples and seen >= args.max_samples:
             break
 
     results = {}
+    if cm is not None:
+        float(jnp.sum(cm))  # drain the device queue before stopping the clock
+    if seen > seen_at_t0:
+        dt = time.perf_counter() - t0
+        results["images_per_sec"] = (
+            (seen - seen_at_t0) / dt if dt > 0 else float("inf")
+        )
     if cm is not None and "mIoU" in args.eval:
         miou, per_class = miou_from_confusion(cm)
         results["mIoU"] = float(miou)
