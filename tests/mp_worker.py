@@ -1,0 +1,98 @@
+"""Live multi-process worker: one rank of a 2-process data-parallel train step.
+
+Launched by tests/test_multiprocess_live.py with
+  JAX_COORDINATOR_ADDRESS=localhost:<port> JAX_NUM_PROCESSES=2 JAX_PROCESS_ID=i
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=4
+so that 2 processes x 4 virtual CPU devices form one 8-device global mesh with
+cross-process (Gloo) collectives — the TPU-pod execution shape the reference
+reaches via mp.spawn + NCCL process groups
+(reference: segmentation/train_denseclip.py:1654-1657, denseclip/utils.py:102-107).
+
+Run single-process (no coordinator env) over 8 local devices, it computes the
+SAME global step — the test asserts loss equality across both launch shapes,
+proving `maybe_initialize_distributed`, multi-process `replicate`, and the
+`make_array_from_process_local_data` branch of `shard_batch` live.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+GLOBAL_BATCH = 8
+
+
+def _global_batch():
+    import numpy as np
+
+    return {
+        "image": np.random.RandomState(0)
+        .randint(0, 255, (GLOBAL_BATCH, 64, 128, 3))
+        .astype(np.uint8),
+        "seg": np.random.RandomState(1)
+        .randint(0, 19, (GLOBAL_BATCH, 64, 128))
+        .astype(np.uint8),
+        "depth": np.random.RandomState(2)
+        .uniform(0, 80, (GLOBAL_BATCH, 64, 128))
+        .astype(np.float32),
+    }
+
+
+def main() -> None:
+    # MUST run before anything touches the jax backend (mesh.py:43-47).
+    from denseclip_vit_multimodal_tpu.parallel.mesh import (
+        local_batch_size,
+        make_mesh,
+        maybe_initialize_distributed,
+        replicate,
+        shard_batch,
+    )
+
+    maybe_initialize_distributed()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import __graft_entry__ as graft
+    from denseclip_vit_multimodal_tpu.data.augment import AugmentConfig
+    from denseclip_vit_multimodal_tpu.train.state import create_train_state
+    from denseclip_vit_multimodal_tpu.train.step import make_train_step
+
+    rank = jax.process_index()
+    nproc = jax.process_count()
+    assert len(jax.devices()) == 8, len(jax.devices())
+
+    mesh = make_mesh({"data": 8})
+    cfg, model, texts = graft._build(tiny=True)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 32, 64, 3), jnp.float32),
+        jnp.asarray(texts),
+    )
+    state = create_train_state(model, variables, cfg.get("training", {}), 10)
+    # multi-process: exercises the committed-array -> host -> global
+    # device_put path (mesh.py::replicate)
+    state = replicate(state, mesh)
+
+    lb = local_batch_size(GLOBAL_BATCH, mesh)
+    assert lb == GLOBAL_BATCH // nproc, (lb, nproc)
+    batch = {
+        k: v[rank * lb : (rank + 1) * lb] for k, v in _global_batch().items()
+    }
+    # multi-process: exercises make_array_from_process_local_data
+    # (mesh.py::shard_batch)
+    batch = shard_batch(batch, mesh)
+
+    aug_cfg = AugmentConfig(crop_size=(32, 64), scale_range=(0.5, 2.0))
+    train_step = make_train_step(texts, aug_cfg, grad_accum_steps=1)
+    state, metrics = train_step(state, batch, jax.random.PRNGKey(0))
+    loss = float(metrics["loss_total"])
+    assert np.isfinite(loss), loss
+    print(f"MPLIVE rank={rank} nproc={nproc} loss={loss!r}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
