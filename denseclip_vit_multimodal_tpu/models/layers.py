@@ -42,6 +42,7 @@ ATTN_XLA = "xla"
 ATTN_FLASH = "flash"  # Pallas flash attention (TPU only)
 ATTN_AUTO = "auto"
 ATTN_INT8 = "int8"  # opt-in quantized serving path (TPU only, ~0.5% rel err)
+ATTN_RING = "ring"  # opt-in sequence-parallel ring attention (>= 2 devices)
 
 
 def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
@@ -162,6 +163,46 @@ def _flash_attention(
     return flash_attention(q, k, v, causal=causal, valid_len=valid_len)
 
 
+def _ring_attention_core(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    causal: bool,
+    valid_len: Optional[int] = None,
+) -> Optional[jnp.ndarray]:
+    """Sequence-parallel ring attention (`attn_impl: ring`), or None when the
+    shape/session can't ride the ring (caller falls back to the exact
+    single-device impls).
+
+    Shards the SEQUENCE over a mesh axis — `parallel.ring_attention.ring_mesh`
+    pins one, else a 1-D ring over all visible devices — with K/V shards
+    rotated by `ppermute` (SURVEY.md §5.7 long-context stretch; the reference
+    holds full [N, N] scores on one device, models.py:311-344).  Sequences are
+    padded to the ring size and masked via `valid_len`, so results are exact.
+    """
+    if causal or q.shape[1] != k.shape[1]:
+        return None  # ring is wired for the ViT's non-causal self-attention
+    from denseclip_vit_multimodal_tpu.parallel.ring_attention import (
+        current_ring_mesh,
+        ring_attention,
+    )
+
+    ctx = current_ring_mesh()
+    if ctx is None:
+        return None
+    mesh, axis = ctx
+    size = mesh.shape[axis]
+    n = q.shape[1]
+    n_pad = -(-n // size) * size
+    if n_pad != n:
+        pad = ((0, 0), (0, n_pad - n), (0, 0), (0, 0))
+        q, k, v = (jnp.pad(t, pad) for t in (q, k, v))
+        if valid_len is None:
+            valid_len = n
+    out = ring_attention(q, k, v, mesh, axis_name=axis, valid_len=valid_len)
+    return out[:, :n]
+
+
 def attention_core(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -172,6 +213,11 @@ def attention_core(
     valid_len: Optional[int] = None,
 ) -> jnp.ndarray:
     """Dispatch to the configured attention implementation."""
+    if impl == ATTN_RING:
+        out = _ring_attention_core(q, k, v, causal, valid_len)
+        if out is not None:
+            return out
+        impl = ATTN_AUTO
     if impl == ATTN_INT8:
         # quantization lives in the fused-qkv path; when attention reaches
         # this core (CPU, cross-attention, unsupported shape) fall back to
@@ -206,7 +252,7 @@ class MultiHeadAttention(nn.Module):
     dtype: Dtype = jnp.float32
 
     def _qkv_kernel_applicable(self, qkv: jnp.ndarray, dim: int) -> bool:
-        if self.attn_impl == ATTN_XLA:
+        if self.attn_impl in (ATTN_XLA, ATTN_RING):
             return False
         from denseclip_vit_multimodal_tpu.ops.attention import (
             _FLASH_MIN_SEQ,

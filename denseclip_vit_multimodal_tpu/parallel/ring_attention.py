@@ -27,12 +27,44 @@ and tested for both on a virtual 8-device CPU mesh.
 
 from __future__ import annotations
 
+import contextlib
 import functools
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
+
+# Mesh stack for the `attn_impl: ring` model dispatch (models/layers.py::
+# attention_core).  `ring_mesh(...)` pins an explicit mesh/axis; otherwise
+# `current_ring_mesh()` lazily builds a 1-D ring over every visible device.
+_RING_MESH_STACK: list = []
+
+
+@contextlib.contextmanager
+def ring_mesh(mesh: Mesh, axis_name: str = "ring"):
+    """Pin the mesh/axis `attn_impl: ring` shards the sequence over.
+
+    Must be active while the consuming computation is TRACED (first call of
+    a jitted function) — the mesh is baked into the compiled program.
+    """
+    _RING_MESH_STACK.append((mesh, axis_name))
+    try:
+        yield
+    finally:
+        _RING_MESH_STACK.pop()
+
+
+def current_ring_mesh() -> Optional[Tuple[Mesh, str]]:
+    """(mesh, axis) for ring dispatch: the pinned context if any, else a
+    1-D mesh over all devices; None when only one device is visible."""
+    if _RING_MESH_STACK:
+        return _RING_MESH_STACK[-1]
+    devices = jax.devices()
+    if len(devices) < 2:
+        return None
+    return Mesh(np.asarray(devices), ("ring",)), "ring"
 
 
 def _ring_attention_local(
