@@ -10,6 +10,10 @@ Workloads (BASELINE.md / driver configs):
   6. train_step_unfrozen_backbone     — heritage recipe, live ViT backward
   7. slide_batch4                     — full-frame slide inference, batch 4
                                         (serving throughput: 40 windows/step)
+  8. train_loader_included_batch16    — workload 4 with the REAL input
+                                        pipeline in the loop (DataLoader
+                                        threads -> device_prefetch -> step),
+                                        plus the host pipeline measured alone
   (ViT-L: run with --config configs/denseclip_vitl14_cityscapes_multitask.yaml)
 
 All timings use the device-side fori_loop methodology (see bench.py): this
@@ -58,7 +62,7 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="configs/denseclip_vitb16_cityscapes_multitask.yaml")
     p.add_argument("--workloads", type=int, nargs="*",
-                   default=[1, 2, 3, 4, 5, 6, 7])
+                   default=[1, 2, 3, 4, 5, 6, 7, 8])
     p.add_argument("--iters", type=int, default=8)
     # slide protocol; ViT-L/14 needs a patch-divisible crop (644 = 46*14)
     p.add_argument("--crop", type=int, nargs=2, default=[640, 640])
@@ -236,6 +240,74 @@ def main(argv=None):
         dt = (time.perf_counter() - t0) / iters
         emit("train_step_unfrozen_backbone_batch8", b / dt, "samples/sec")
 
+    if 8 in args.workloads:
+        # Workload 4 with the real input pipeline in the loop — quantifies
+        # the loader/H2D gap vs the pre-staged train number (the reference's
+        # DataLoader workers feed its hot loop, train_denseclip.py:265-284).
+        # Two numbers: (a) the host pipeline alone (decode threads -> stacked
+        # numpy batches), which bounds what any device could consume; (b)
+        # loader -> device_prefetch -> train step end to end.  NOTE: on a
+        # relay-attached session (b) is wall-clocked by the tunnel's H2D
+        # bandwidth, not the loader — compare (a) against workload 4 there.
+        from denseclip_vit_multimodal_tpu.data.loader import (
+            DataLoader,
+            device_prefetch,
+        )
+        from denseclip_vit_multimodal_tpu.data.synthetic import SyntheticDataset
+        from denseclip_vit_multimodal_tpu.train.state import create_train_state
+        from denseclip_vit_multimodal_tpu.train.step import make_train_step
+
+        b = 16
+        steps = max(args.iters // 2, 2)
+        threads = max(1, min(8, os.cpu_count() or 1))  # threads only thrash
+        ds = SyntheticDataset(length=b * (steps + 2), image_size=(1024, 2048))
+        loader = DataLoader(ds, batch_size=b, shuffle=True,
+                            num_threads=threads,
+                            process_index=0, process_count=1)
+
+        for batch in loader.epoch(0):  # warm any lazy init, then time
+            break
+        t0 = time.perf_counter()
+        n = 0
+        for batch in loader.epoch(0):
+            n += batch["image"].shape[0]
+        dt_host = time.perf_counter() - t0
+        emit("loader_host_pipeline_batch16", n / dt_host, "samples/sec")
+
+        # Same pipeline with generation amortized (cache=True): isolates the
+        # loader machinery — threads, resample logic, batch stacking.
+        ds_c = SyntheticDataset(length=b * (steps + 2),
+                                image_size=(1024, 2048), cache=True)
+        loader_c = DataLoader(ds_c, batch_size=b, shuffle=True,
+                              num_threads=threads,
+                              process_index=0, process_count=1)
+        for batch in loader_c.epoch(0):  # populate the cache
+            pass
+        t0 = time.perf_counter()
+        n = 0
+        for batch in loader_c.epoch(0):
+            n += batch["image"].shape[0]
+        emit("loader_host_machinery_batch16",
+             n / (time.perf_counter() - t0), "samples/sec")
+
+        aug_cfg = augment_config_from_data_cfg(cfg.get("data", {}), train=True)
+        state = create_train_state(
+            model, fresh_variables(), cfg.get("training", {}), 100
+        )
+        step = make_train_step(texts, aug_cfg)
+        key = jax.random.PRNGKey(0)
+        it = device_prefetch(loader_c.epoch(1))
+        state, metrics = step(state, next(it), key)  # compile on batch 0
+        float(metrics["loss_total"])
+        t0 = time.perf_counter()
+        n = 0
+        for batch in it:
+            state, metrics = step(state, batch, key)
+            n += b
+        float(metrics["loss_total"])  # drain the device queue
+        dt = time.perf_counter() - t0
+        emit("train_loader_included_batch16", n / dt, "samples/sec")
+
     if 5 in args.workloads:
         from denseclip_vit_multimodal_tpu.infer.engine import Inferencer
 
@@ -292,6 +364,8 @@ def main(argv=None):
         "vit_b16_512x512_seg_forward", "slide_1024x2048_multitask",
         "slide_1024x2048_multitask_batch4", "whole_1024x2048_multitask_batch4",
         "train_step_frozen_text_batch16", "train_step_unfrozen_backbone_batch8",
+        "loader_host_pipeline_batch16", "loader_host_machinery_batch16",
+        "train_loader_included_batch16",
         "aug_test_slide_3scale_flip_1024x2048",
     ))}
     merged = sorted(merged + results, key=lambda r: order.get(r["metric"], 99))
