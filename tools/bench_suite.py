@@ -64,9 +64,13 @@ def main(argv=None):
     p.add_argument("--workloads", type=int, nargs="*",
                    default=[1, 2, 3, 4, 5, 6, 7, 8])
     p.add_argument("--iters", type=int, default=8)
-    # slide protocol; ViT-L/14 needs a patch-divisible crop (644 = 46*14)
-    p.add_argument("--crop", type=int, nargs=2, default=[640, 640])
-    p.add_argument("--stride", type=int, nargs=2, default=[426, 426])
+    # slide protocol; ViT-L/14 uses the config's crop 630 (= 45*14; see
+    # configs/denseclip_vitl14_cityscapes_multitask.yaml `test:` section)
+    p.add_argument("--crop", type=int, nargs=2, default=None)
+    p.add_argument("--stride", type=int, nargs=2, default=None)
+    p.add_argument("--window-batch", type=int, default=None,
+                   help="chunk slide windows through lax.map (ViT-L "
+                        "batch>1: 10)")
     p.add_argument("--tag", default="", help="suffix for metric names")
     p.add_argument("--attn-impl", default=None,
                    help="override tpu.attn_impl (e.g. int8 for the "
@@ -92,6 +96,13 @@ def main(argv=None):
     )
 
     cfg = load_config(args.config)
+    test_cfg = cfg.get("test", {}) or {}
+    if args.crop is None:
+        args.crop = list(test_cfg.get("crop", [640, 640]))
+    if args.stride is None:
+        args.stride = list(test_cfg.get("stride", [426, 426]))
+    if args.window_batch is None:
+        args.window_batch = int(test_cfg.get("window_batch", 0))
     attn_impl = args.attn_impl or str(
         (cfg.get("tpu", {}) or {}).get("attn_impl", "auto")
     )
@@ -99,7 +110,7 @@ def main(argv=None):
         cfg.model, CITYSCAPES_CLASSES, dtype=jnp.bfloat16, attn_impl=attn_impl
     )
     texts_j = jnp.asarray(texts)
-    init_hw = tuple(args.crop)  # patch-divisible (ViT-L/14 needs 644)
+    init_hw = tuple(args.crop)  # patch-divisible (config `test:` section)
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0),
         jnp.zeros((1, init_hw[0], init_hw[1], 3), jnp.float32),
@@ -140,7 +151,8 @@ def main(argv=None):
                 return jnp.concatenate(
                     [out["seg"].astype(jnp.float32),
                      out["depth"].astype(jnp.float32)], -1)
-            return slide_inference(wf, im, 20, crop=crop, stride=stride)
+            return slide_inference(wf, im, 20, crop=crop, stride=stride,
+                                   window_batch=args.window_batch)
 
         img = jnp.zeros((1, 1024, 2048, 3), jnp.float32)
         dt = device_loop_time(one_frame, (variables, img), args.iters)
@@ -160,7 +172,8 @@ def main(argv=None):
                 return jnp.concatenate(
                     [out["seg"].astype(jnp.float32),
                      out["depth"].astype(jnp.float32)], -1)
-            return slide_inference(wf, im, 20, crop=crop, stride=stride)
+            return slide_inference(wf, im, 20, crop=crop, stride=stride,
+                                   window_batch=args.window_batch)
 
         img = jnp.zeros((4, 1024, 2048, 3), jnp.float32)
         dt = device_loop_time(
@@ -323,7 +336,8 @@ def main(argv=None):
             sw = max(int(round(w * s / patch)) * patch, patch)
             fns.append(
                 infer._aug_view_fn(
-                    (sh, sw), (h, w), True, "slide", (640, 640), (426, 426), 0
+                    (sh, sw), (h, w), True, "slide", tuple(args.crop),
+                    tuple(args.stride), args.window_batch
                 )
             )
 

@@ -28,8 +28,15 @@ def parse_args(argv=None):
     p.add_argument("--eval", nargs="*", default=["mIoU"],
                    help="metrics: mIoU, depth")
     p.add_argument("--mode", choices=["whole", "slide"], default="whole")
-    p.add_argument("--crop", type=int, nargs=2, default=[640, 640])
-    p.add_argument("--stride", type=int, nargs=2, default=[426, 426])
+    # slide protocol defaults come from the config's `test:` section when
+    # present (e.g. ViT-L/14 uses crop 630 = 45*14 — tokens pad to exactly
+    # 2048, measured +8% over crop 644; see docs/PERFORMANCE.md)
+    p.add_argument("--crop", type=int, nargs=2, default=None)
+    p.add_argument("--stride", type=int, nargs=2, default=None)
+    p.add_argument("--window-batch", type=int, default=None,
+                   help="chunk the slide window batch through lax.map "
+                        "(bounds the backbone's HBM working set; ViT-L "
+                        "batch>1 measures fastest at 10)")
     p.add_argument("--aug-test", action="store_true",
                    help="multi-scale (0.5-1.75) + flip logit averaging")
     p.add_argument("--batch-size", type=int, default=1)
@@ -71,6 +78,13 @@ def main(argv=None):
     from denseclip_vit_multimodal_tpu.train.checkpoint import restore_checkpoint
 
     cfg = load_config(resolve_config_path(args.config), overrides=args.overrides)
+    test_cfg = cfg.get("test", {}) or {}
+    if args.crop is None:
+        args.crop = list(test_cfg.get("crop", [640, 640]))
+    if args.stride is None:
+        args.stride = list(test_cfg.get("stride", [426, 426]))
+    if args.window_batch is None:
+        args.window_batch = int(test_cfg.get("window_batch", 0))
     data_cfg = cfg.get("data", {})
     class_names = class_names_for(data_cfg)
     tpu_cfg = cfg.get("tpu", {}) or {}
@@ -127,11 +141,13 @@ def main(argv=None):
             out = infer.aug_test(batch["image"], mode=args.mode,
                                  crop=tuple(args.crop),
                                  stride=tuple(args.stride),
+                                 window_batch=args.window_batch,
                                  window_sharding=window_sharding,
                                  fetch="device")
         else:
             out = infer.predict(batch["image"], mode=args.mode,
                                 crop=tuple(args.crop), stride=tuple(args.stride),
+                                window_batch=args.window_batch,
                                 window_sharding=window_sharding,
                                 fetch="device")
         if args.fetch_logits:
