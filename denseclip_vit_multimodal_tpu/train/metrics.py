@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from typing import Dict, Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -29,14 +30,27 @@ def confusion_matrix(
     num_classes: int,
     ignore_index: int = 255,
 ) -> jnp.ndarray:
-    """Returns [num_classes, num_classes] float32 counts (rows=target)."""
+    """Returns [num_classes, num_classes] float32 counts (rows=target).
+
+    One-hots come from a broadcast COMPARE, not `eye[idx]` — indexed-gather
+    one-hot construction is the same serialized minor-axis gather the CE
+    loss fix removed (docs/PERFORMANCE.md "the gather trap"); at 1024x2048
+    eval shapes the eye-gather version cost ~10 ms/frame.  bf16 one-hot
+    operands (0/1 exact) halve the HBM traffic; the fp32 accumulator keeps
+    counts exact (< 2^24 per batch-tile).
+    """
     valid = labels != ignore_index
     t = jnp.where(valid, labels, 0).reshape(-1)
     p = jnp.where(valid, preds, 0).reshape(-1)
-    w = valid.reshape(-1).astype(jnp.float32)
-    t_onehot = jnp.eye(num_classes, dtype=jnp.float32)[t] * w[:, None]
-    p_onehot = jnp.eye(num_classes, dtype=jnp.float32)[p]
-    return t_onehot.T @ p_onehot
+    classes = jnp.arange(num_classes)
+    t_onehot = (
+        (t[:, None] == classes[None, :]) & valid.reshape(-1)[:, None]
+    ).astype(jnp.bfloat16)
+    p_onehot = (p[:, None] == classes[None, :]).astype(jnp.bfloat16)
+    return jax.lax.dot_general(
+        t_onehot, p_onehot, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def miou_from_confusion(cm: jnp.ndarray, eps: float = 1e-8) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -14,6 +14,9 @@ Workloads (BASELINE.md / driver configs):
                                         pipeline in the loop (DataLoader
                                         threads -> device_prefetch -> step),
                                         plus the host pipeline measured alone
+  9. eval_path_device                 — workload 2 + argmax + confusion +
+                                        depth-error sums: the tools/test.py
+                                        device computation end to end
   (ViT-L: run with --config configs/denseclip_vitl14_cityscapes_multitask.yaml)
 
 All timings use the device-side fori_loop methodology (see bench.py): this
@@ -62,7 +65,7 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="configs/denseclip_vitb16_cityscapes_multitask.yaml")
     p.add_argument("--workloads", type=int, nargs="*",
-                   default=[1, 2, 3, 4, 5, 6, 7, 8])
+                   default=[1, 2, 3, 4, 5, 6, 7, 8, 9])
     p.add_argument("--iters", type=int, default=8)
     # slide protocol; ViT-L/14 uses the config's crop 630 (= 45*14; see
     # configs/denseclip_vitl14_cityscapes_multitask.yaml `test:` section)
@@ -321,6 +324,44 @@ def main(argv=None):
         dt = time.perf_counter() - t0
         emit("train_loader_included_batch16", n / dt, "samples/sec")
 
+    if 9 in args.workloads:
+        # The tools/test.py device computation end to end: slide + argmax +
+        # confusion + depth-error sums.  Tracks workload 2 within ~6% after
+        # the compare-based confusion matrix (the eye[idx] gather version
+        # cost ~10 ms/frame); the CLI itself is then host/relay-bound only.
+        from denseclip_vit_multimodal_tpu.train.metrics import (
+            confusion_matrix,
+            depth_errors,
+        )
+
+        crop, stride = tuple(args.crop), tuple(args.stride)
+
+        def eval_one(v, im, seg_gt, depth_gt):
+            def wf(w):
+                out = model.apply(
+                    v, w, texts_j, train=False, resize_outputs=False
+                )
+                return jnp.concatenate(
+                    [out["seg"].astype(jnp.float32),
+                     out["depth"].astype(jnp.float32)], -1)
+            logits = slide_inference(wf, im, 20, crop=crop, stride=stride,
+                                     window_batch=args.window_batch)
+            seg_pred = jnp.argmax(logits[..., :19], axis=-1)
+            cm = confusion_matrix(seg_pred, seg_gt, 19, 255)
+            sums, count = depth_errors(
+                logits[..., 19], depth_gt, depth_gt > 0, max_depth=80.0)
+            return cm, sums, count
+
+        rng = np.random.RandomState(0)
+        im = jnp.asarray(rng.rand(1, 1024, 2048, 3).astype(np.float32))
+        seg_gt = jnp.asarray(
+            rng.randint(0, 19, (1, 1024, 2048)).astype(np.int32))
+        depth_gt = jnp.asarray(
+            rng.uniform(0, 80, (1, 1024, 2048)).astype(np.float32))
+        dt = device_loop_time(
+            eval_one, (variables, im, seg_gt, depth_gt), args.iters)
+        emit("eval_path_device_1024x2048_slide", 1.0 / dt, "images/sec")
+
     if 5 in args.workloads:
         from denseclip_vit_multimodal_tpu.infer.engine import Inferencer
 
@@ -379,7 +420,7 @@ def main(argv=None):
         "slide_1024x2048_multitask_batch4", "whole_1024x2048_multitask_batch4",
         "train_step_frozen_text_batch16", "train_step_unfrozen_backbone_batch8",
         "loader_host_pipeline_batch16", "loader_host_machinery_batch16",
-        "train_loader_included_batch16",
+        "train_loader_included_batch16", "eval_path_device_1024x2048_slide",
         "aug_test_slide_3scale_flip_1024x2048",
     ))}
     merged = sorted(merged + results, key=lambda r: order.get(r["metric"], 99))
