@@ -25,8 +25,9 @@ def main(argv=None):
     p.add_argument("inputs", help="image file or directory")
     p.add_argument("-o", "--out-dir", default="inference_out")
     p.add_argument("--mode", choices=["whole", "slide"], default="whole")
-    p.add_argument("--crop", type=int, nargs=2, default=[640, 640])
-    p.add_argument("--stride", type=int, nargs=2, default=[426, 426])
+    # slide protocol defaults come from the config `test:` section
+    p.add_argument("--crop", type=int, nargs=2, default=None)
+    p.add_argument("--stride", type=int, nargs=2, default=None)
     p.add_argument("--aug-test", action="store_true")
     p.add_argument("--set", dest="overrides", nargs="*", default=[])
     args = p.parse_args(argv)
@@ -54,12 +55,20 @@ def main(argv=None):
     )
 
     cfg = load_config(resolve_config_path(args.config), overrides=args.overrides)
+    test_cfg = cfg.get("test", {}) or {}
+    if args.crop is None:
+        args.crop = list(test_cfg.get("crop", [640, 640]))
+    if args.stride is None:
+        args.stride = list(test_cfg.get("stride", [426, 426]))
     class_names = class_names_for(cfg.get("data", {}))
     tpu_cfg = cfg.get("tpu", {}) or {}
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
         str(tpu_cfg.get("compute_dtype", "bfloat16"))
     ]
-    model, texts = build_denseclip(cfg.model, class_names, dtype=dtype)
+    model, texts = build_denseclip(
+        cfg.model, class_names, dtype=dtype,
+        attn_impl=str(tpu_cfg.get("attn_impl", "auto")),
+    )
     aug_cfg = augment_config_from_data_cfg(cfg.get("data", {}), train=False)
     ch, cw = aug_cfg.crop_size
     variables = model.init(

@@ -91,7 +91,10 @@ def main(argv=None):
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
         str(tpu_cfg.get("compute_dtype", "bfloat16"))
     ]
-    model, texts = build_denseclip(cfg.model, class_names, dtype=dtype)
+    model, texts = build_denseclip(
+        cfg.model, class_names, dtype=dtype,
+        attn_impl=str(tpu_cfg.get("attn_impl", "auto")),
+    )
     aug_cfg = augment_config_from_data_cfg(data_cfg, train=False)
 
     ch, cw = aug_cfg.crop_size
