@@ -176,3 +176,27 @@ def resolve_config_path(name_or_path: Union[str, Path]) -> Path:
         if c.exists():
             return c
     raise FileNotFoundError(f"Config not found: {name_or_path} (tried {candidates})")
+
+
+def resolve_test_protocol(cfg, crop=None, stride=None, window_batch=None):
+    """Slide-eval protocol with config `test:` section defaults.
+
+    Shared by the tools/ CLIs (test.py / infer.py / bench_suite.py):
+    explicit CLI values win; otherwise the config's `test:` section (e.g.
+    the ViT-L/14 preset pins crop 630 + window_batch 10 — see
+    docs/PERFORMANCE.md); otherwise the reference mmseg protocol
+    (crop 640, stride 426, one launch).
+
+    Returns (crop [h, w], stride [h, w], window_batch int).
+    """
+    t = cfg.get("test", {}) or {}
+    crop = list(crop) if crop is not None else list(t.get("crop", [640, 640]))
+    stride = (
+        list(stride) if stride is not None
+        else list(t.get("stride", [426, 426]))
+    )
+    wb = int(
+        window_batch if window_batch is not None
+        else t.get("window_batch", 0)
+    )
+    return crop, stride, wb

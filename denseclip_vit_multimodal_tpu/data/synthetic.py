@@ -62,7 +62,7 @@ class SyntheticDataset:
         if not 0 <= idx < self.length:
             raise IndexError(idx)
         if self._cache is not None and idx in self._cache:
-            return self._cache[idx]
+            return dict(self._cache[idx])  # shallow copy; arrays read-only
         rng = np.random.RandomState(self.seed * 100003 + idx)
         h, w = self.image_size
         # Blocky structure so downscaled labels stay self-consistent.
@@ -88,5 +88,9 @@ class SyntheticDataset:
             depth[holes < 26] = 0.0  # ~10% invalid holes
             sample["depth"] = depth
         if self._cache is not None:
+            # freeze cached arrays: an in-place consumer mutation must fail
+            # loudly instead of silently corrupting every later epoch
+            for v in sample.values():
+                v.setflags(write=False)
             self._cache[idx] = sample
         return sample

@@ -204,6 +204,21 @@ class Inferencer:
             jnp.asarray(images), self.aug_cfg.norm_mean, self.aug_cfg.norm_std
         )
 
+    @staticmethod
+    def _check_window_sharding(window_sharding, mode: str):
+        """window_sharding is honored only in slide mode: warn and return
+        None otherwise so both predict and aug_test behave identically."""
+        if window_sharding is not None and mode != "slide":
+            import warnings
+
+            warnings.warn(
+                f"window_sharding is only honored in slide mode (got "
+                f"mode={mode!r}); running unsharded",
+                stacklevel=3,
+            )
+            return None
+        return window_sharding
+
     def _package(self, seg_logits, depth, fetch: str):
         """Package (seg_logits, depth) device arrays per the `fetch` policy.
 
@@ -249,14 +264,7 @@ class Inferencer:
 
         `fetch` controls what crosses the host boundary (see `_package`).
         """
-        if window_sharding is not None and mode != "slide":
-            import warnings
-
-            warnings.warn(
-                f"window_sharding is only honored in slide mode (got "
-                f"mode={mode!r}); running unsharded",
-                stacklevel=2,
-            )
+        window_sharding = self._check_window_sharding(window_sharding, mode)
         image = images if preprocessed else self.preprocess(images)
         if mode == "whole":
             seg_logits, depth = self._whole_fn()(
@@ -300,15 +308,7 @@ class Inferencer:
         fetches per the `fetch` policy (see `_package`).  In slide mode
         `window_sharding` spreads every view's windows over the mesh.
         """
-        if window_sharding is not None and mode != "slide":
-            import warnings
-
-            warnings.warn(
-                f"window_sharding is only honored in slide mode (got "
-                f"mode={mode!r}); running unsharded",
-                stacklevel=2,
-            )
-            window_sharding = None
+        window_sharding = self._check_window_sharding(window_sharding, mode)
         b, h, w, _ = images.shape
         image0 = self.preprocess(images)
         variables, texts = self.variables, self.texts
@@ -346,8 +346,9 @@ class Inferencer:
     # --- device-reduced evaluation (fetches scalars, never canvases) ---
 
     def _metrics_fn(self, num_classes: int, ignore_index: int,
-                    max_depth: float, with_depth: bool):
-        key = ("metrics", num_classes, ignore_index, max_depth, with_depth)
+                    max_depth: float, with_seg: bool, with_depth: bool):
+        key = ("metrics", num_classes, ignore_index, max_depth,
+               with_seg, with_depth)
         if key not in self._jit_cache:
             from denseclip_vit_multimodal_tpu.train.metrics import (
                 confusion_matrix,
@@ -355,9 +356,11 @@ class Inferencer:
             )
 
             def run(seg_pred, seg_gt, depth_pred, depth_gt):
-                cm = confusion_matrix(
-                    seg_pred, seg_gt, num_classes, ignore_index
-                )
+                cm = None
+                if with_seg:
+                    cm = confusion_matrix(
+                        seg_pred, seg_gt, num_classes, ignore_index
+                    )
                 if not with_depth:
                     return cm, None, None
                 sums, count = depth_errors(
@@ -379,21 +382,26 @@ class Inferencer:
         """Device-side metrics for one batch of `predict`/`aug_test` outputs
         obtained with `fetch='device'`.
 
-        Returns (confusion [K, K], depth_sums dict or None, depth_count or
-        None) as DEVICE arrays — accumulate across batches with `+` and fetch
-        the tiny totals once at the end.  This is how `tools/test.py` reaches
-        bench-level throughput: the eval loop never fetches a logit canvas
-        (VERDICT round 2: a 1024x2048x19 fp32 fetch took ~170 s through the
-        relay; the confusion matrix is 1.4 KB).
+        Returns (confusion [K, K] or None, depth_sums dict or None,
+        depth_count or None) as DEVICE arrays — accumulate across batches
+        with `+` and fetch the tiny totals once at the end.  Either ground
+        truth may be omitted (seg-only / depth-only datasets).  This is how
+        `tools/test.py` reaches bench-level throughput: the eval loop never
+        fetches a logit canvas (VERDICT round 2: a 1024x2048x19 fp32 fetch
+        took ~170 s through the relay; the confusion matrix is 1.4 KB).
         """
+        with_seg = seg_gt is not None
         with_depth = depth_gt is not None and "depth" in outputs
+        if not (with_seg or with_depth):
+            return None, None, None
         fn = self._metrics_fn(
-            self.num_classes, ignore_index, float(max_depth), with_depth
+            self.num_classes, ignore_index, float(max_depth),
+            with_seg, with_depth,
         )
         zero = jnp.zeros((), jnp.float32)  # placeholder for unused operands
         cm, sums, count = fn(
             outputs["seg"],
-            jnp.asarray(seg_gt),
+            jnp.asarray(seg_gt) if with_seg else zero,
             outputs.get("depth", zero),
             jnp.asarray(depth_gt) if with_depth else zero,
         )

@@ -28,6 +28,8 @@ def main(argv=None):
     # slide protocol defaults come from the config `test:` section
     p.add_argument("--crop", type=int, nargs=2, default=None)
     p.add_argument("--stride", type=int, nargs=2, default=None)
+    p.add_argument("--window-batch", type=int, default=None,
+                   help="chunk the slide window batch through lax.map")
     p.add_argument("--aug-test", action="store_true")
     p.add_argument("--set", dest="overrides", nargs="*", default=[])
     args = p.parse_args(argv)
@@ -40,6 +42,7 @@ def main(argv=None):
     from denseclip_vit_multimodal_tpu.core.config import (
         load_config,
         resolve_config_path,
+        resolve_test_protocol,
     )
     from denseclip_vit_multimodal_tpu.data.augment import (
         augment_config_from_data_cfg,
@@ -55,11 +58,9 @@ def main(argv=None):
     )
 
     cfg = load_config(resolve_config_path(args.config), overrides=args.overrides)
-    test_cfg = cfg.get("test", {}) or {}
-    if args.crop is None:
-        args.crop = list(test_cfg.get("crop", [640, 640]))
-    if args.stride is None:
-        args.stride = list(test_cfg.get("stride", [426, 426]))
+    args.crop, args.stride, args.window_batch = resolve_test_protocol(
+        cfg, args.crop, args.stride, args.window_batch
+    )
     class_names = class_names_for(cfg.get("data", {}))
     tpu_cfg = cfg.get("tpu", {}) or {}
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[

@@ -61,6 +61,7 @@ def main(argv=None):
     from denseclip_vit_multimodal_tpu.core.config import (
         load_config,
         resolve_config_path,
+        resolve_test_protocol,
     )
     from denseclip_vit_multimodal_tpu.data.augment import (
         augment_config_from_data_cfg,
@@ -78,13 +79,9 @@ def main(argv=None):
     from denseclip_vit_multimodal_tpu.train.checkpoint import restore_checkpoint
 
     cfg = load_config(resolve_config_path(args.config), overrides=args.overrides)
-    test_cfg = cfg.get("test", {}) or {}
-    if args.crop is None:
-        args.crop = list(test_cfg.get("crop", [640, 640]))
-    if args.stride is None:
-        args.stride = list(test_cfg.get("stride", [426, 426]))
-    if args.window_batch is None:
-        args.window_batch = int(test_cfg.get("window_batch", 0))
+    args.crop, args.stride, args.window_batch = resolve_test_protocol(
+        cfg, args.crop, args.stride, args.window_batch
+    )
     data_cfg = cfg.get("data", {})
     class_names = class_names_for(data_cfg)
     tpu_cfg = cfg.get("tpu", {}) or {}
@@ -155,35 +152,46 @@ def main(argv=None):
                                 fetch="device")
         if args.fetch_logits:
             np.asarray(out["seg_logits"])  # opt-in canvas fetch (slow on relay)
-        if "seg" in batch:
+        if "seg" in batch or "depth" in batch:
             c, s, n = infer.eval_metrics(
                 out,
-                seg_gt=batch["seg"],
+                seg_gt=batch.get("seg"),
                 depth_gt=batch.get("depth"),
                 ignore_index=aug_cfg.ignore_index,
                 max_depth=max_depth,
             )
-            cm = c if cm is None else cm + c
+            if c is not None:
+                cm = c if cm is None else cm + c
             if s is not None:
                 if d_sums is None:
                     d_sums, d_count = s, n
                 else:
                     d_sums = jax.tree.map(jnp.add, d_sums, s)
                     d_count = d_count + n
+
+        def drain():
+            # force completion of everything queued so far via tiny fetches
+            # (block_until_ready is unreliable through the relay)
+            if cm is not None:
+                float(jnp.sum(cm))
+            if d_count is not None:
+                float(d_count)
+            if cm is None and d_count is None:
+                int(out["seg"][0, 0, 0])  # metrics-less run: touch the preds
+
         seen += batch["image"].shape[0]
         if seen_at_t0 == 0:
             # first batch pays compilation: restart the throughput clock
-            # after it completes (drain the device queue via a tiny fetch)
-            if cm is not None:
-                float(jnp.sum(cm))
+            # after it completes
+            drain()
             seen_at_t0 = seen
             t0 = time.perf_counter()
         if args.max_samples and seen >= args.max_samples:
             break
 
     results = {}
-    if cm is not None:
-        float(jnp.sum(cm))  # drain the device queue before stopping the clock
+    if seen:
+        drain()  # complete the device queue before stopping the clock
     if seen > seen_at_t0:
         dt = time.perf_counter() - t0
         results["images_per_sec"] = (
