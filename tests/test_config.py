@@ -86,3 +86,30 @@ def test_builtin_presets_load():
     for preset in builtin_config_dir().glob("*.yaml"):
         cfg = load_config(preset)
         assert "model" in cfg, preset
+
+
+def test_resolve_test_protocol_defaults_and_overrides():
+    from denseclip_vit_multimodal_tpu.core.config import (
+        load_config,
+        resolve_test_protocol,
+    )
+
+    # no test: section -> reference mmseg protocol
+    crop, stride, wb = resolve_test_protocol({})
+    assert (crop, stride, wb) == ([640, 640], [426, 426], 0)
+
+    # ViT-L preset carries its measured protocol (crop 630 = 45*14 pads
+    # tokens to exactly 2048; window_batch 10 bounds the HBM working set)
+    cfg = load_config("configs/denseclip_vitl14_cityscapes_multitask.yaml")
+    crop, stride, wb = resolve_test_protocol(cfg)
+    assert (crop, stride, wb) == ([630, 630], [426, 426], 10)
+
+    # explicit CLI values win over the config
+    crop, stride, wb = resolve_test_protocol(
+        cfg, crop=[644, 644], window_batch=0
+    )
+    assert crop == [644, 644] and stride == [426, 426] and wb == 0
+
+    # ViT-B flagship: reference crop/stride + the wb-20 execution default
+    cfg_b = load_config("configs/denseclip_vitb16_cityscapes_multitask.yaml")
+    assert resolve_test_protocol(cfg_b) == ([640, 640], [426, 426], 20)
