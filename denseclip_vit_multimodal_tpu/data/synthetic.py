@@ -93,4 +93,7 @@ class SyntheticDataset:
             for v in sample.values():
                 v.setflags(write=False)
             self._cache[idx] = sample
+            # hand out a shallow copy like cache hits do, so a consumer
+            # reassigning a key can't mutate the cached dict itself
+            return dict(sample)
         return sample

@@ -329,7 +329,7 @@ class Inferencer:
             fn = self._aug_view_fn(
                 (sh, sw), (h, w), flip, mode, tuple(crop), tuple(stride),
                 window_batch,
-                window_sharding if mode == "slide" else None,
+                window_sharding,  # already None unless mode == "slide"
             )
             seg_sum, depth_sum = fn(variables, image0, texts)
             acc_seg = seg_sum if acc_seg is None else acc_seg + seg_sum

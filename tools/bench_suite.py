@@ -353,8 +353,8 @@ def main(argv=None):
             # otherwise XLA dead-code-eliminates the depth sums and prunes
             # the confusion matmul down to the single element the carry uses
             total = jnp.sum(cm) + count
-            for v in sums.values():
-                total = total + jnp.sum(v)
+            for err_sum in sums.values():
+                total = total + jnp.sum(err_sum)
             return total
 
         rng = np.random.RandomState(0)

@@ -99,7 +99,8 @@ def main(argv=None):
     for path in paths:
         img = np.asarray(Image.open(path).convert("RGB"), np.uint8)[None]
         kwargs = dict(mode=args.mode, crop=tuple(args.crop),
-                      stride=tuple(args.stride))
+                      stride=tuple(args.stride),
+                      window_batch=args.window_batch)
         out = (infer.aug_test(img, **kwargs) if args.aug_test
                else infer.predict(img, **kwargs))
         base = os.path.splitext(os.path.basename(path))[0]
