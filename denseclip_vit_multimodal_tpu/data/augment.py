@@ -104,15 +104,33 @@ def _source_coords_1d(
     ox: jnp.ndarray,
     flip: jnp.ndarray,
     crop: Tuple[int, int],
+    src_hw: Tuple[int, int],
 ):
-    """Half-pixel source coordinates per output row / column (separable)."""
+    """Half-pixel source coordinates per output row / column (separable).
+
+    Each output index is either an IMAGE row/col of the scaled canvas
+    (canvas position in [0, scaled_extent - 1]) or a PAD row/col.  Image
+    coordinates are clamped to [0, src - 1] — cv2.resize samples the edge
+    pixel at full weight there, so without the clamp every border row of an
+    upscaled image is darkened by the lost tent mass.  Pad positions get a
+    far-outside sentinel so both the tent and the one-hot nearest rows are
+    exactly zero — without it a pad row adjacent to the image picks up
+    bleed from the edge pixel instead of the pure Albumentations fill.
+    """
     ch, cw = crop
+    h, w = src_hw
+
+    def coords(idx, o, s, n):
+        c = idx + o  # position in the scaled canvas (integer-valued)
+        src = (c + 0.5) / s - 0.5
+        extent = jnp.round(s * n)  # scaled image size, integer-valued
+        is_img = (c >= 0.0) & (c <= extent - 1.0)
+        return jnp.where(is_img, jnp.clip(src, 0.0, n - 1.0), -2.0)
+
     i = jnp.arange(ch, dtype=jnp.float32)
     j = jnp.arange(cw, dtype=jnp.float32)
     j = jnp.where(flip, (cw - 1) - j, j)
-    y = (i + oy + 0.5) / sy - 0.5
-    x = (j + ox + 0.5) / sx - 0.5
-    return y, x
+    return coords(i, oy, sy, h), coords(j, ox, sx, w)
 
 
 def _source_coords(
@@ -122,10 +140,11 @@ def _source_coords(
     ox: jnp.ndarray,
     flip: jnp.ndarray,
     crop: Tuple[int, int],
+    src_hw: Tuple[int, int],
 ):
     """Half-pixel source coordinates for every output pixel of the crop."""
     ch, cw = crop
-    y, x = _source_coords_1d(sy, sx, oy, ox, flip, crop)
+    y, x = _source_coords_1d(sy, sx, oy, ox, flip, crop, src_hw)
     return (
         jnp.broadcast_to(y[:, None], (ch, cw)),
         jnp.broadcast_to(x[None, :], (ch, cw)),
@@ -332,7 +351,7 @@ def augment_sample(
 
     out: Dict[str, jnp.ndarray] = {}
     if use_matmul_resample:
-        y, x = _source_coords_1d(sy, sx, oy, ox, flip, cfg.crop_size)
+        y, x = _source_coords_1d(sy, sx, oy, ox, flip, cfg.crop_size, src_hw)
         wy_lin, wx_lin, wy_nn, wx_nn = _interp_matrices(y, x, src_hw)
         img = _resample_bilinear_mm(image.astype(jnp.float32), wy_lin, wx_lin)
         if seg is not None:
@@ -346,7 +365,7 @@ def augment_sample(
             out["depth"] = d
             out["depth_mask"] = d > 0.0
     else:
-        y, x = _source_coords(sy, sx, oy, ox, flip, cfg.crop_size)
+        y, x = _source_coords(sy, sx, oy, ox, flip, cfg.crop_size, src_hw)
         img = _gather_bilinear(image.astype(jnp.float32), y, x, fill=0.0)
         if seg is not None:
             out["seg"] = _gather_nearest(

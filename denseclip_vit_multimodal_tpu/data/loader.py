@@ -64,8 +64,15 @@ class DataLoader:
         self.process_index = process_index
         self.process_count = process_count
 
+    def _per_process_count(self) -> int:
+        # ceil(n / world): every process sees the SAME count (a short tail
+        # is padded by wrapping, DistributedSampler semantics — reference
+        # train_denseclip.py:242-243).  Unequal per-rank counts would leave
+        # one process inside a collective train step the others never enter.
+        return -(-len(self.dataset) // self.process_count)
+
     def __len__(self) -> int:
-        n = len(self.dataset) // self.process_count
+        n = self._per_process_count()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -78,6 +85,9 @@ class DataLoader:
             order = np.random.RandomState(self.seed + epoch).permutation(n)
         else:
             order = np.arange(n)
+        total = self._per_process_count() * self.process_count
+        if total > n:
+            order = np.concatenate([order, order[: total - n]])
         return order[self.process_index :: self.process_count]
 
     def _fetch(self, idx: int) -> Dict[str, np.ndarray]:

@@ -41,13 +41,29 @@ class Inferencer:
         texts: np.ndarray,
         aug_cfg: Optional[AugmentConfig] = None,
         num_classes: int = 19,
-        with_depth: bool = True,
+        with_depth: Optional[bool] = None,
     ):
         self.model = model
         self.variables = variables
         self.texts = jnp.asarray(texts)
         self.aug_cfg = aug_cfg or AugmentConfig()
         self.num_classes = num_classes
+        # Reconcile the flag with what the model can actually emit: slide
+        # mode sizes its fused canvas from this flag, so with_depth=True on
+        # a seg-only model would fail with an opaque reshape error deep in
+        # the scatter loop.  None = derive from the model.
+        model_has_depth = getattr(model, "depth_head", None) is not None
+        if with_depth is None:
+            with_depth = model_has_depth
+        elif with_depth and not model_has_depth:
+            import warnings
+
+            warnings.warn(
+                "with_depth=True but the model has no depth head; "
+                "running seg-only",
+                stacklevel=2,
+            )
+            with_depth = False
         self.with_depth = with_depth
         self._jit_cache: Dict = {}
 
@@ -58,8 +74,12 @@ class Inferencer:
         if key not in self._jit_cache:
 
             def run(variables, image, texts):
-                out = self.model.apply(variables, image, texts, train=False)
-                return out["seg"], out.get("depth")
+                # One implementation for both entry points: aug_test and
+                # predict share _forward_logits (crop/stride/window args
+                # are unused in whole mode).
+                return self._forward_logits(
+                    variables, image, texts, "whole", (0, 0), (0, 0), 0
+                )
 
             self._jit_cache[key] = jax.jit(run)
         return self._jit_cache[key]

@@ -16,8 +16,8 @@ from __future__ import annotations
 
 from typing import Any, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from denseclip_vit_multimodal_tpu.models.layers import ConvBNReLU
@@ -85,14 +85,18 @@ class FPN(nn.Module):
         laterals = [
             conv(1, f"lateral_{i}")(feat) for i, feat in enumerate(features)
         ]
-        # top-down: nearest upsample + add (torchvision interpolate mode="nearest")
+        # top-down: nearest upsample + add.  torchvision uses
+        # F.interpolate(mode="nearest") whose source index is
+        # floor(dst * src/dst) — NOT jax.image.resize's half-pixel
+        # rounding, which picks different pixels whenever the sizes are
+        # not an exact multiple (e.g. odd stage dims) and would shift the
+        # whole top-down pathway by one pixel vs reference weights.
         for i in range(len(laterals) - 2, -1, -1):
-            up = jax.image.resize(
-                laterals[i + 1],
-                laterals[i].shape,
-                method="nearest",
-            )
-            laterals[i] = laterals[i] + up
+            src = laterals[i + 1]
+            oh, ow = laterals[i].shape[1:3]
+            ys = (np.arange(oh) * src.shape[1]) // oh
+            xs = (np.arange(ow) * src.shape[2]) // ow
+            laterals[i] = laterals[i] + src[:, ys][:, :, xs]
         outs = [
             conv(3, f"output_{i}")(lat) for i, lat in enumerate(laterals)
         ]

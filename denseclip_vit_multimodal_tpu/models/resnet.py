@@ -72,7 +72,6 @@ class Bottleneck(nn.Module):
 
         identity = x
         if self.stride > 1 or x.shape[-1] != out_planes:
-            identity = x
             if self.stride > 1:
                 identity = _avg_pool(identity, self.stride)
             identity = bn("downsample_bn")(

@@ -160,12 +160,14 @@ def make_train_step(
         )
         new_state = state.apply_gradients(safe_grads)
         new_state = new_state.replace(batch_stats=new_stats)
-        # Skipped step: keep old params/opt_state but still advance `step`
-        # (the reference advances its batch counter on NaN skip too).
+        # Skipped step: keep old params/opt_state AND old batch_stats — a
+        # NaN-producing batch must not poison the BN running statistics
+        # either — but still advance `step` (the reference advances its
+        # batch counter on NaN skip too).
         new_state = jax.tree.map(
             lambda new, old: jnp.where(finite, new, old),
             new_state,
-            state.replace(step=state.step, batch_stats=new_stats),
+            state,
         )
         new_state = new_state.replace(step=state.step + 1)
 

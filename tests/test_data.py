@@ -221,3 +221,72 @@ def test_build_dataset_synthetic_dispatch():
     assert len(ds) == 3 and "depth" in ds[0]
     with pytest.raises(ValueError):
         build_dataset({"dataset_type": "Nope"}, "train")
+
+
+def test_augment_upscale_border_not_darkened():
+    """Upscaled border rows sample the edge pixel at FULL weight (cv2 clamp).
+
+    Without the clamp the tent kernel loses the mass falling outside the
+    source and every border row/col of an upscaled crop is darkened.
+    """
+    cfg = AugmentConfig(
+        crop_size=(32, 32), scale_range=(2.0, 2.0), hflip_prob=0.0,
+        norm_mean=(0.0, 0.0, 0.0), norm_std=(1.0, 1.0, 1.0),
+    )
+    batch = {"image": jnp.full((1, 16, 16, 3), 200, jnp.uint8)}
+    for mm in (True, False):
+        out = augment_batch(
+            jax.random.PRNGKey(0), batch, cfg, use_matmul_resample=mm
+        )
+        img = np.asarray(out["image"][0]) * 255.0
+        np.testing.assert_allclose(img, 200.0, atol=1e-3,
+                                   err_msg=f"matmul={mm}")
+
+
+def test_augment_pad_region_pure_fill_next_to_upscaled_image():
+    """Pad rows adjacent to an upscaled image are EXACT fill (no edge bleed).
+
+    An 8x8 source at scale 2 centered in a 32x32 crop occupies output
+    rows/cols 8..23; rows 7 and 24 are padding whose half-pixel source
+    coordinate lies within the tent support of the edge pixel — they must
+    still be pure fill, like Albumentations' PadIfNeeded.
+    """
+    cfg = AugmentConfig(
+        crop_size=(32, 32), scale_range=(2.0, 2.0), hflip_prob=0.0,
+        norm_mean=(0.0, 0.0, 0.0), norm_std=(1.0, 1.0, 1.0),
+    )
+    batch = {
+        "image": jnp.full((1, 8, 8, 3), 255, jnp.uint8),
+        "seg": jnp.full((1, 8, 8), 3, jnp.int32),
+    }
+    for mm in (True, False):
+        out = augment_batch(
+            jax.random.PRNGKey(0), batch, cfg, use_matmul_resample=mm
+        )
+        img = np.asarray(out["image"][0]) * 255.0
+        seg = np.asarray(out["seg"][0])
+        # image region: exact constant, full brightness
+        np.testing.assert_allclose(img[8:24, 8:24], 255.0, atol=1e-3)
+        # pad ring: exact fill, including the rows touching the image
+        assert (img[:8] == 0.0).all() and (img[24:] == 0.0).all()
+        assert (img[:, :8] == 0.0).all() and (img[:, 24:] == 0.0).all()
+        assert (seg[:8] == 255).all() and (seg[24:] == 255).all()
+        assert (seg[8:24, 8:24] == 3).all()
+
+
+def test_loader_equal_batches_across_processes_with_remainder():
+    """ceil-padded per-process counts: every rank emits the SAME number of
+    batches (DistributedSampler semantics) so no process is left alone
+    inside a collective train step."""
+    ds = SyntheticDataset(length=9, image_size=(16, 32))
+    loaders = [
+        DataLoader(ds, batch_size=5, shuffle=False, num_threads=1,
+                   process_index=i, process_count=2)
+        for i in range(2)
+    ]
+    counts = [len(list(ld.epoch(0))) for ld in loaders]
+    assert counts[0] == counts[1] == 1
+    assert [len(ld) for ld in loaders] == counts
+    # All real samples are still covered across ranks (wrap-padding only).
+    i0, i1 = (set(ld._epoch_indices(0)) for ld in loaders)
+    assert i0 | i1 == set(range(9))

@@ -227,3 +227,41 @@ def test_score_map_matches_naive_normalize():
     naive = jnp.einsum("bhwc,bkc->bhwk", vn, tn)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(naive), atol=2e-6)
     assert float(jnp.max(jnp.abs(fused))) <= 1.0 + 1e-5
+
+
+def test_fpn_topdown_nearest_matches_torch_convention_on_odd_dims():
+    """The top-down upsample must use torch's floor-convention nearest
+    (src = floor(dst * src/dst)), which differs from half-pixel nearest
+    whenever stage sizes are not exact multiples (e.g. odd dims)."""
+    import torch
+
+    fpn = FPN(num_inputs=2, out_channels=4)
+    feats = [jnp.ones((1, 5, 7, 4)), jnp.ones((1, 3, 3, 4))]
+    variables = fpn.init(KEY, feats)
+
+    # Isolate the upsample: make lateral_1 pass coarse features through
+    # unchanged (identity 1x1) and lateral_0 zero, then read the finest
+    # level before the smoothing conv by making output_0 identity too.
+    p = jax.tree.map(np.asarray, variables["params"])
+    eye = np.zeros_like(p["lateral_1"]["kernel"])
+    eye[0, 0] = np.eye(4)
+    p["lateral_1"]["kernel"] = eye
+    p["lateral_1"]["bias"] = np.zeros_like(p["lateral_1"]["bias"])
+    p["lateral_0"]["kernel"] = np.zeros_like(p["lateral_0"]["kernel"])
+    p["lateral_0"]["bias"] = np.zeros_like(p["lateral_0"]["bias"])
+    out_eye = np.zeros_like(p["output_0"]["kernel"])  # [3,3,4,4]
+    out_eye[1, 1] = np.eye(4)
+    p["output_0"]["kernel"] = out_eye
+    p["output_0"]["bias"] = np.zeros_like(p["output_0"]["bias"])
+
+    rng = np.random.RandomState(0)
+    coarse = rng.rand(1, 3, 3, 4).astype(np.float32)
+    feats = [jnp.zeros((1, 5, 7, 4)), jnp.asarray(coarse)]
+    outs = fpn.apply({"params": jax.tree.map(jnp.asarray, p)}, feats)
+    ours = np.asarray(outs[0])
+
+    ref = torch.nn.functional.interpolate(
+        torch.from_numpy(coarse).permute(0, 3, 1, 2), size=(5, 7),
+        mode="nearest",
+    ).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-6)

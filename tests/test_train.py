@@ -232,11 +232,17 @@ def test_nan_batch_skips_update(tiny_setup):
     bad = dict(batch)
     bad["depth"] = np.full_like(batch["depth"], np.inf)
     before = np.asarray(state.params["contexts"])
+    stats_before = jax.tree.map(np.asarray, state.batch_stats)
     new_state, metrics = step(_clone(state), jax.tree.map(jnp.asarray, bad),
                               jax.random.PRNGKey(0))
     if not np.isfinite(float(metrics["loss_total"])):
         assert float(metrics["skipped"]) == 1.0
         np.testing.assert_array_equal(
             np.asarray(new_state.params["contexts"]), before
+        )
+        # the skipped step must not poison BN running statistics either
+        jax.tree.map(
+            lambda old, new: np.testing.assert_array_equal(old, np.asarray(new)),
+            stats_before, new_state.batch_stats,
         )
         assert int(new_state.step) == 1  # counter still advances
