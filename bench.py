@@ -84,9 +84,15 @@ def main():
     @jax.jit
     def bench_loop(vars_, image, iters):
         def body(i, acc):
-            # acc-dependent perturbation serializes iterations.
+            # acc-dependent perturbation serializes iterations.  The carry
+            # reads one pixel of EVERY channel (two corners): a
+            # single-element carry let XLA prune the depth head and narrow
+            # the 20-channel overlap-add canvas to one channel, inflating
+            # the number ~5% (measured 26.5 vs 25.0-25.3 same-session; a
+            # full-canvas sum times the same as the two-corner read, so
+            # the delta was pruned work, not carry cost).
             out = one_frame(vars_, image + acc * 1e-20)
-            return acc + out[0, 0, 0, 0]
+            return acc + out[0, 0, 0, :].sum() + out[0, -1, -1, :].sum()
 
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 

@@ -91,6 +91,17 @@ def main() -> None:
     state, metrics = train_step(state, batch, jax.random.PRNGKey(0))
     loss = float(metrics["loss_total"])
     assert np.isfinite(loss), loss
+
+    # Cross-process metric reduction (tools/test.py's multi-host eval
+    # finalization): every rank must recover the GLOBAL sum of per-rank
+    # accumulators from a host-local numpy array.
+    from jax.experimental import multihost_utils
+
+    local_cm = np.full((2, 2), rank + 1, np.float64)
+    gsum = np.asarray(multihost_utils.process_allgather(local_cm)).sum(axis=0)
+    expect = nproc * (nproc + 1) // 2
+    assert (gsum == expect).all(), gsum
+
     print(f"MPLIVE rank={rank} nproc={nproc} loss={loss!r}", flush=True)
 
 

@@ -36,29 +36,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def device_loop_time(fn, args, iters: int) -> float:
-    """Seconds per iteration of fn(*args), looped on device."""
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def loop(args, iters):
-        def body(i, acc):
-            out = fn(*jax.tree.map(
-                lambda x: x + (acc * 1e-20).astype(x.dtype)
-                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
-                else x,
-                args,
-            ))
-            leaf = jax.tree.leaves(out)[0]
-            return acc + jnp.ravel(leaf)[0].astype(jnp.float32)
-
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
-
-    float(loop(args, 1))  # compile + warmup
-    t0 = time.perf_counter()
-    float(loop(args, iters))
-    return (time.perf_counter() - t0) / iters
+from denseclip_vit_multimodal_tpu.utils.benchtime import device_loop_time  # noqa: E402
 
 
 def main(argv=None):
@@ -186,7 +164,9 @@ def main(argv=None):
     if 3 in args.workloads:
         img = jnp.zeros((4, 1024, 2048, 3), jnp.float32)
         dt = device_loop_time(
-            lambda v, im: model.apply(v, im, texts_j, train=False)["seg"],
+            # return BOTH heads so the depth branch isn't DCE'd out of the
+            # "multitask" measurement (device_loop_time folds every leaf)
+            lambda v, im: model.apply(v, im, texts_j, train=False),
             (variables, img), max(args.iters // 2, 2),
         )
         emit("whole_1024x2048_multitask_batch4", 4.0 / dt, "images/sec")
@@ -261,9 +241,12 @@ def main(argv=None):
         # DataLoader workers feed its hot loop, train_denseclip.py:265-284).
         # Two numbers: (a) the host pipeline alone (decode threads -> stacked
         # numpy batches), which bounds what any device could consume; (b)
-        # loader -> device_prefetch -> train step end to end.  NOTE: on a
-        # relay-attached session (b) is wall-clocked by the tunnel's H2D
-        # bandwidth, not the loader — compare (a) against workload 4 there.
+        # loader -> device_prefetch -> train step end to end, fed from the
+        # CACHED dataset so (b) isolates machinery+H2D+step — synthetic
+        # sample GENERATION (the analog of decode, measured by (a)) is
+        # deliberately amortized out of (b).  NOTE: on a relay-attached
+        # session (b) is wall-clocked by the tunnel's H2D bandwidth, not
+        # the loader — compare (a) against workload 4 there.
         from denseclip_vit_multimodal_tpu.data.loader import (
             DataLoader,
             device_prefetch,
@@ -391,10 +374,16 @@ def main(argv=None):
         # device-loop timing methodology applies (no per-view dispatches).
         def aug_full(v, img0, tx):
             acc = None
+            acc_d = None
             for fn in fns:
-                seg_sum, _ = fn(v, img0, tx)
+                seg_sum, depth_sum = fn(v, img0, tx)
                 acc = seg_sum if acc is None else acc + seg_sum
-            return acc / (2.0 * len(fns))
+                if depth_sum is not None:
+                    acc_d = depth_sum if acc_d is None else acc_d + depth_sum
+            # return both averaged views — dropping depth here would let
+            # XLA prune the depth head from the "multitask" measurement
+            n = 2.0 * len(fns)
+            return (acc / n, None if acc_d is None else acc_d / n)
 
         img0 = jnp.zeros((1, h, w, 3), jnp.float32)
         dt = device_loop_time(

@@ -46,8 +46,14 @@ def main(argv=None):
     p.add_argument("--shape", type=int, nargs=2, default=[1024, 2048])
     p.add_argument("--batch", type=int, default=1)
     p.add_argument("--mode", choices=["whole", "slide"], default="whole")
-    p.add_argument("--crop", type=int, nargs=2, default=[640, 640])
-    p.add_argument("--stride", type=int, nargs=2, default=[426, 426])
+    # slide protocol defaults come from the config `test:` section, like
+    # the other CLIs (tools/test.py, tools/infer.py) — the exported program
+    # must match what tools/test.py validated (e.g. the ViT-L crop-630
+    # protocol), not a hardcoded 640/426.
+    p.add_argument("--crop", type=int, nargs=2, default=None)
+    p.add_argument("--stride", type=int, nargs=2, default=None)
+    p.add_argument("--window-batch", type=int, default=None,
+                   help="chunk the slide window batch through lax.map")
     p.add_argument("--load", default=None, help="load + self-test an export dir")
     p.add_argument("--selftest", action="store_true")
     p.add_argument("--set", dest="overrides", nargs="*", default=[])
@@ -78,6 +84,7 @@ def main(argv=None):
     from denseclip_vit_multimodal_tpu.core.config import (
         load_config,
         resolve_config_path,
+        resolve_test_protocol,
     )
     from denseclip_vit_multimodal_tpu.data.augment import (
         augment_config_from_data_cfg,
@@ -89,12 +96,18 @@ def main(argv=None):
     from denseclip_vit_multimodal_tpu.train.state import create_train_state
 
     cfg = load_config(resolve_config_path(args.config), overrides=args.overrides)
+    args.crop, args.stride, args.window_batch = resolve_test_protocol(
+        cfg, args.crop, args.stride, args.window_batch
+    )
     class_names = class_names_for(cfg.get("data", {}))
     tpu_cfg = cfg.get("tpu", {}) or {}
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
         str(tpu_cfg.get("compute_dtype", "bfloat16"))
     ]
-    model, texts = build_denseclip(cfg.model, class_names, dtype=dtype)
+    model, texts = build_denseclip(
+        cfg.model, class_names, dtype=dtype,
+        attn_impl=str(tpu_cfg.get("attn_impl", "auto")),
+    )
     aug = augment_config_from_data_cfg(cfg.get("data", {}), train=False)
     ch, cw = aug.crop_size
     variables = model.init(
@@ -126,7 +139,8 @@ def main(argv=None):
             # head-resolution logits; slide fuses the upsample (infer/slide.py)
             fwd = functools.partial(fwd, resize_outputs=False)
             return slide_inference(
-                fwd, pre, n_out, crop=tuple(args.crop), stride=tuple(args.stride)
+                fwd, pre, n_out, crop=tuple(args.crop),
+                stride=tuple(args.stride), window_batch=args.window_batch,
             )
         return fwd(pre)
 
@@ -148,6 +162,9 @@ def main(argv=None):
     meta = {
         "input_shape": [args.batch, h, w, 3],
         "mode": args.mode,
+        "crop": list(args.crop),
+        "stride": list(args.stride),
+        "window_batch": int(args.window_batch),
         "num_outputs": n_out,
         "class_names": list(class_names),
         "weight_keys": list(flat_named.keys()),

@@ -98,9 +98,12 @@ def main(argv=None):
 
     for path in paths:
         img = np.asarray(Image.open(path).convert("RGB"), np.uint8)[None]
+        # fetch="argmax": this CLI only renders seg argmax + depth, so
+        # don't drag the full fp32 logit canvas (~160 MB at 1024x2048)
+        # across the host boundary per frame.
         kwargs = dict(mode=args.mode, crop=tuple(args.crop),
                       stride=tuple(args.stride),
-                      window_batch=args.window_batch)
+                      window_batch=args.window_batch, fetch="argmax")
         out = (infer.aug_test(img, **kwargs) if args.aug_test
                else infer.predict(img, **kwargs))
         base = os.path.splitext(os.path.basename(path))[0]

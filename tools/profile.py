@@ -117,16 +117,27 @@ def main(argv=None):
         print(f"bytes access : {ca.get('bytes accessed', float('nan')) / 1e9:.3f} GB")
 
     # timing (on-device loop not used here: profile runs are short and the
-    # per-call overhead is visible in the trace anyway)
+    # per-call overhead is visible in the trace anyway).  Completion is
+    # forced by fetching one scalar — through the relay
+    # jax.block_until_ready returns immediately (CLAUDE.md), so a
+    # block-based stopwatch would time only the dispatch RPCs.
+    def force(o):
+        leaf = jax.tree.leaves(o)[0]
+        return float(jnp.asarray(leaf).ravel()[0])
+
     out = fn(*run_args)
-    jax.block_until_ready(out)
+    if args.mode == "train":
+        # the train step donates its input state; chain the warmup output
+        # or the first timed call would read deleted buffers
+        run_args = (out[0], run_args[1])
+    force(out)
     with profiler_trace(args.trace_dir):
         t0 = time.perf_counter()
         for _ in range(args.iters):
             out = fn(*run_args)
             if args.mode == "train":
                 run_args = (out[0], run_args[1])
-        jax.block_until_ready(out)
+        force(out)
         dt = (time.perf_counter() - t0) / args.iters
     print(f"{args.mode}: {dt * 1e3:.2f} ms/iter "
           f"({args.batch / dt:.2f} samples/sec)")

@@ -21,28 +21,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def device_loop_time(fn, args, iters: int) -> float:
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def loop(args, iters):
-        def body(i, acc):
-            out = fn(*jax.tree.map(
-                lambda x: x + (acc * 1e-20).astype(x.dtype)
-                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
-                else x,
-                args,
-            ))
-            leaf = jax.tree.leaves(out)[0]
-            return acc + jnp.ravel(leaf)[0].astype(jnp.float32)
-
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
-
-    float(loop(args, 2))
-    t0 = time.perf_counter()
-    float(loop(args, iters))
-    return (time.perf_counter() - t0) / iters
+from denseclip_vit_multimodal_tpu.utils.benchtime import device_loop_time  # noqa: E402
 
 
 def main(argv=None):

@@ -192,6 +192,25 @@ def main(argv=None):
     results = {}
     if seen:
         drain()  # complete the device queue before stopping the clock
+    if jax.process_count() > 1:
+        # Multi-process eval (dist_test.sh): each process scored only its
+        # rank-strided shard of the val set — sum the tiny accumulators
+        # across processes so every rank reports the GLOBAL metrics (the
+        # reference instead gathers per-image results to rank 0,
+        # test.py:135-157).  Wrap-padded duplicate samples are counted
+        # like the reference's DistributedSampler counts them.
+        from jax.experimental import multihost_utils
+
+        def global_sum(x):
+            if x is None:
+                return None
+            return np.asarray(
+                multihost_utils.process_allgather(np.asarray(x))
+            ).sum(axis=0)
+
+        cm = global_sum(cm)
+        d_sums = None if d_sums is None else jax.tree.map(global_sum, d_sums)
+        d_count = global_sum(d_count)
     if seen > seen_at_t0:
         dt = time.perf_counter() - t0
         results["images_per_sec"] = (
