@@ -74,10 +74,8 @@ def main(argv=None):
         augment_config_from_data_cfg,
     )
     from denseclip_vit_multimodal_tpu.infer.slide import slide_inference
-    from denseclip_vit_multimodal_tpu.models.denseclip import (
-        CITYSCAPES_CLASSES,
-        build_denseclip,
-    )
+    from denseclip_vit_multimodal_tpu.models.denseclip import build_denseclip
+    from denseclip_vit_multimodal_tpu.train.loop import class_names_for
 
     cfg = load_config(args.config)
     args.crop, args.stride, args.window_batch = resolve_test_protocol(
@@ -86,9 +84,31 @@ def main(argv=None):
     attn_impl = args.attn_impl or str(
         (cfg.get("tpu", {}) or {}).get("attn_impl", "auto")
     )
+    class_names = class_names_for(cfg.get("data", {}))
     model, texts = build_denseclip(
-        cfg.model, CITYSCAPES_CLASSES, dtype=jnp.bfloat16, attn_impl=attn_impl
+        cfg.model, class_names, dtype=jnp.bfloat16, attn_impl=attn_impl
     )
+
+    bb = cfg.model.get("backbone", {})
+    if str(bb.get("type", "")) == "CLIPVisionTransformer":
+        arch = {768: "vit_b", 1024: "vit_l"}.get(
+            int(bb.get("width", 768)), "vit"
+        ) + str(bb.get("patch_size", 16))
+    else:
+        arch = f"rn{sum(bb.get('layers', [])) * 3 + 2}"  # [3,4,6,3] -> rn50
+
+    has_depth = bool(cfg.model.get("depth_head"))
+    n_out = len(class_names) + (1 if has_depth else 0)
+    task = "multitask" if has_depth else "seg"
+
+    def slide_wf(v):
+        def wf(w):
+            out = model.apply(v, w, texts_j, train=False, resize_outputs=False)
+            parts = [out["seg"].astype(jnp.float32)]
+            if has_depth:
+                parts.append(out["depth"].astype(jnp.float32))
+            return jnp.concatenate(parts, -1)
+        return wf
     texts_j = jnp.asarray(texts)
     init_hw = tuple(args.crop)  # patch-divisible (config `test:` section)
     variables = jax.jit(model.init)(
@@ -118,25 +138,19 @@ def main(argv=None):
             lambda v, im: model.apply(v, im, texts_j, train=False)["seg"],
             (variables, img), args.iters,
         )
-        emit("vit_b16_512x512_seg_forward", 1.0 / dt, "images/sec")
+        emit(f"{arch}_512x512_seg_forward", 1.0 / dt, "images/sec")
 
     if 2 in args.workloads:
         crop, stride = tuple(args.crop), tuple(args.stride)
 
         def one_frame(v, im):
-            def wf(w):
-                out = model.apply(
-                    v, w, texts_j, train=False, resize_outputs=False
-                )
-                return jnp.concatenate(
-                    [out["seg"].astype(jnp.float32),
-                     out["depth"].astype(jnp.float32)], -1)
-            return slide_inference(wf, im, 20, crop=crop, stride=stride,
+            return slide_inference(slide_wf(v), im, n_out, crop=crop,
+                                   stride=stride,
                                    window_batch=args.window_batch)
 
         img = jnp.zeros((1, 1024, 2048, 3), jnp.float32)
         dt = device_loop_time(one_frame, (variables, img), args.iters)
-        emit("slide_1024x2048_multitask", 1.0 / dt, "images/sec")
+        emit(f"slide_1024x2048_{task}", 1.0 / dt, "images/sec")
 
     if 7 in args.workloads:
         # Batched slide: 4 frames = 40 windows per backbone launch — the
@@ -145,21 +159,15 @@ def main(argv=None):
         crop, stride = tuple(args.crop), tuple(args.stride)
 
         def four_frames(v, im):
-            def wf(w):
-                out = model.apply(
-                    v, w, texts_j, train=False, resize_outputs=False
-                )
-                return jnp.concatenate(
-                    [out["seg"].astype(jnp.float32),
-                     out["depth"].astype(jnp.float32)], -1)
-            return slide_inference(wf, im, 20, crop=crop, stride=stride,
+            return slide_inference(slide_wf(v), im, n_out, crop=crop,
+                                   stride=stride,
                                    window_batch=args.window_batch)
 
         img = jnp.zeros((4, 1024, 2048, 3), jnp.float32)
         dt = device_loop_time(
             four_frames, (variables, img), max(args.iters // 2, 2)
         )
-        emit("slide_1024x2048_multitask_batch4", 4.0 / dt, "images/sec")
+        emit(f"slide_1024x2048_{task}_batch4", 4.0 / dt, "images/sec")
 
     if 3 in args.workloads:
         img = jnp.zeros((4, 1024, 2048, 3), jnp.float32)
@@ -169,7 +177,7 @@ def main(argv=None):
             lambda v, im: model.apply(v, im, texts_j, train=False),
             (variables, img), max(args.iters // 2, 2),
         )
-        emit("whole_1024x2048_multitask_batch4", 4.0 / dt, "images/sec")
+        emit(f"whole_1024x2048_{task}_batch4", 4.0 / dt, "images/sec")
 
     if 4 in args.workloads:
         from denseclip_vit_multimodal_tpu.train.state import create_train_state
@@ -318,32 +326,30 @@ def main(argv=None):
 
         crop, stride = tuple(args.crop), tuple(args.stride)
 
+        nk = len(class_names)
+
         def eval_one(v, im, seg_gt, depth_gt):
-            def wf(w):
-                out = model.apply(
-                    v, w, texts_j, train=False, resize_outputs=False
-                )
-                return jnp.concatenate(
-                    [out["seg"].astype(jnp.float32),
-                     out["depth"].astype(jnp.float32)], -1)
-            logits = slide_inference(wf, im, 20, crop=crop, stride=stride,
+            logits = slide_inference(slide_wf(v), im, n_out, crop=crop,
+                                     stride=stride,
                                      window_batch=args.window_batch)
-            seg_pred = jnp.argmax(logits[..., :19], axis=-1)
-            cm = confusion_matrix(seg_pred, seg_gt, 19, 255)
-            sums, count = depth_errors(
-                logits[..., 19], depth_gt, depth_gt > 0, max_depth=80.0)
+            seg_pred = jnp.argmax(logits[..., :nk], axis=-1)
+            cm = confusion_matrix(seg_pred, seg_gt, nk, 255)
             # fold EVERY metric into the one scalar the timing carry reads —
             # otherwise XLA dead-code-eliminates the depth sums and prunes
             # the confusion matmul down to the single element the carry uses
-            total = jnp.sum(cm) + count
-            for err_sum in sums.values():
-                total = total + jnp.sum(err_sum)
+            total = jnp.sum(cm)
+            if has_depth:
+                sums, count = depth_errors(
+                    logits[..., nk], depth_gt, depth_gt > 0, max_depth=80.0)
+                total = total + count
+                for err_sum in sums.values():
+                    total = total + jnp.sum(err_sum)
             return total
 
         rng = np.random.RandomState(0)
         im = jnp.asarray(rng.rand(1, 1024, 2048, 3).astype(np.float32))
         seg_gt = jnp.asarray(
-            rng.randint(0, 19, (1, 1024, 2048)).astype(np.int32))
+            rng.randint(0, nk, (1, 1024, 2048)).astype(np.int32))
         depth_gt = jnp.asarray(
             rng.uniform(0, 80, (1, 1024, 2048)).astype(np.float32))
         dt = device_loop_time(
@@ -354,7 +360,7 @@ def main(argv=None):
         from denseclip_vit_multimodal_tpu.infer.engine import Inferencer
 
         infer = Inferencer(
-            model, variables, texts, num_classes=19, with_depth=True
+            model, variables, texts, num_classes=len(class_names)
         )
         h, w = 1024, 2048
         scales = (0.5, 0.75, 1.0)
