@@ -223,6 +223,13 @@ def attention_core(
         # this core (CPU, cross-attention, unsupported shape) fall back to
         # the exact impls
         impl = ATTN_AUTO
+    if impl == ATTN_FLASH:
+        # explicit `attn_impl: flash` degrades off-TPU like int8/ring do —
+        # pallas_call has no CPU path outside interpret mode
+        from denseclip_vit_multimodal_tpu.ops.attention import _on_tpu
+
+        if not _on_tpu():
+            impl = ATTN_AUTO
     if impl == ATTN_AUTO:
         from denseclip_vit_multimodal_tpu.ops.attention import flash_supported
 
@@ -293,7 +300,7 @@ class MultiHeadAttention(nn.Module):
         )
 
         return self._qkv_kernel_applicable(x, dim) and lnqkv_supported(
-            self.num_heads, dim
+            self.num_heads, dim, n=x.shape[1]
         )
 
     @nn.compact

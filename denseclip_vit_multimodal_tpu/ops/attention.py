@@ -89,6 +89,10 @@ def flash_attention(
     (ops/mha_kernel.py — measured 2.4 ms vs 3.2 ms bundled at N=1601 on
     v5e); longer sequences stream through the bundled blockwise kernel.
     `valid_len` masks trailing pad keys of an already-padded sequence.
+    CONTRACT: output rows [valid_len, N) are UNSPECIFIED — the one-shot
+    and XLA paths compute them against masked keys while the bundled
+    kernel also masks the pad query rows; callers must slice to
+    [:valid_len] (all in-repo callers do).
     """
     if not causal and q.shape[1] <= _ONESHOT_MAX_SEQ:
         from denseclip_vit_multimodal_tpu.ops.mha_kernel import mha_attention

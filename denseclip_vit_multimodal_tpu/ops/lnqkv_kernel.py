@@ -155,10 +155,14 @@ def _lnqkv_fwd_impl(x, gamma, beta, w_qkv, b_qkv, num_heads, scale, eps,
         x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
         real_n = min(real_n, n)
     # LN + K/V projection of the full x happens once per (batch, lane
-    # block); the LN temporaries are chunk-bounded so the score budget
-    # matches the plain qkv kernel's.
-    bq = _pick_block_q(n_pad, block_q, score_bufs=heads_per_block)
+    # block); the LN temporaries are chunk-bounded, but the full-x input
+    # block, the ln scratch and the K/V scratch stay VMEM-resident —
+    # charge them so the q-tile search can't pick past scoped VMEM.
     lane_block = head_dim * heads_per_block
+    resident = n_pad * 2 * (2 * d + 2 * lane_block)
+    bq = _pick_block_q(
+        n_pad, block_q, score_bufs=heads_per_block, extra_bytes=resident
+    )
     n_lane_blocks = hd // lane_block
     grid = (b, n_lane_blocks, n_pad // bq)
 
@@ -245,9 +249,22 @@ def _lnqkv_bwd(num_heads, scale, eps, block_q, interpret, valid_len,
 _lnqkv.defvjp(_lnqkv_fwd, _lnqkv_bwd)
 
 
-def lnqkv_supported(num_heads: int, model_dim: int) -> bool:
+def lnqkv_supported(num_heads: int, model_dim: int, n: int = 0) -> bool:
     head_dim = model_dim // num_heads
-    return head_dim in (64, 128) and (model_dim % _LANE == 0)
+    if not (head_dim in (64, 128) and model_dim % _LANE == 0):
+        return False
+    if n:
+        # The fused kernel's VMEM residents scale with sequence length: the
+        # full-x input block + ln scratch ([n_pad, D] bf16 each) and the
+        # K/V scratch ([n_pad, lane_block] bf16 x 2).  Past the point where
+        # they plus one minimal 8-row score tile exceed scoped VMEM the
+        # compile OOMs — whole-frame shapes must take the unfused path.
+        lane_block = max(_LANE // head_dim, 1) * head_dim
+        n_pad = -(-n // _LANE) * _LANE
+        resident = n_pad * 2 * (2 * model_dim + 2 * lane_block)
+        if resident + 8 * n_pad * 4 * 2 > 14 * 1024 * 1024:
+            return False
+    return True
 
 
 def ln_qkv_attention(

@@ -93,14 +93,18 @@ def _exp2(x: jnp.ndarray) -> jnp.ndarray:
 _VMEM_SCOPED = 14 * 1024 * 1024  # 16 MB minus q/o tiles + scratch headroom
 
 
-def _pick_block_q(n_pad: int, requested: int, score_bufs: int = 1) -> int:
+def _pick_block_q(
+    n_pad: int, requested: int, score_bufs: int = 1, extra_bytes: int = 0
+) -> int:
     """Largest 8-multiple divisor of n_pad whose working set fits VMEM.
 
     Bigger q-tiles amortize the per-program K/V residency and MXU ramp-up:
     at N=1601 (pad 1664) an 832-row tile measured within 2% of a single
     1664-row one (which OOMs), and 2x faster than 512-row tiles.
     `requested` caps the search (0 = no cap); `score_bufs` is how many
-    score-sized fp32 tiles the kernel holds at once (forward 1, backward 3).
+    score-sized fp32 tiles the kernel holds at once (forward 1, backward 3);
+    `extra_bytes` charges non-score VMEM residents the caller knows about
+    (the backward's fp32 dk/dv whole-sequence output blocks).
     """
     cap = requested if requested > 0 else n_pad
     # bf16, K+V; double-buffered at window shapes.  At whole-frame sizes the
@@ -113,7 +117,7 @@ def _pick_block_q(n_pad: int, requested: int, score_bufs: int = 1) -> int:
     # were never measured on hardware — keep the conservative charge.
     kv_buffers = 2 if (n_pad < 8192 or score_bufs > 1) else 1
     kv_bytes = n_pad * _LANE * 2 * 2 * kv_buffers
-    budget = max(_VMEM_SCOPED - kv_bytes, 1024 * 1024)
+    budget = max(_VMEM_SCOPED - kv_bytes - extra_bytes, 1024 * 1024)
     per_tile = budget // (max(score_bufs, 1) + 1)  # +1: exp-chain temporary
     best = 8
     # Mosaic needs the q-tile (second-to-last block dim) to be a multiple of
@@ -293,8 +297,12 @@ def _mha_bwd_pallas(q, k, v, do, scale, block_q, interpret, valid_len):
     if n_pad != n:
         pad = ((0, 0), (0, 0), (0, n_pad - n), (0, 0))
         q, k, v, do = (jnp.pad(x, pad) for x in (q, k, v, do))
-    # three fp32 score-sized temporaries live at once (s/p, dp, ds)
-    bq = _pick_block_q(n_pad, block_q, score_bufs=3)
+    # three fp32 score-sized temporaries live at once (s/p, dp, ds), and
+    # the fp32 dk/dv whole-sequence output blocks stay VMEM-resident across
+    # the q-tile grid axis — charge them or long-sequence picks OOM.
+    bq = _pick_block_q(
+        n_pad, block_q, score_bufs=3, extra_bytes=2 * n_pad * d * 4
+    )
     grid = (b, h, n_pad // bq)
 
     tile = lambda: pl.BlockSpec((1, 1, bq, d), lambda i, hh, j: (i, hh, j, 0))
@@ -395,9 +403,16 @@ def _qkv_kernel(n_real: int, scale: float, heads_per_block: int,
             denom = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
             # same exp approximation as the tile so the pad-column
             # contribution cancels exactly
-            denom = denom - (n_pad - n_real) * _exp2(
-                -m.astype(jnp.float32)
-            )
+            pads = n_pad - n_real
+            pad_mass = pads * _exp2(-m.astype(jnp.float32))
+            denom = denom - pad_mass
+            # Catastrophic-cancellation guard: if every REAL score of a row
+            # sits ~24 bits below the pad columns' 0, the fp32 sum absorbs
+            # the real mass entirely and denom lands on exactly 0 -> inf/NaN
+            # out.  Floor at the absorption threshold (pads * fp32 ulp of
+            # the pad mass): o is bounded by the same lost mass, so the
+            # pathological row degrades to a bounded ~0 output instead.
+            denom = jnp.maximum(denom, pad_mass * jnp.float32(1.2e-7))
         else:
             p, denom = _softmax_unnormalized(
                 s.astype(jnp.float32), n_real,

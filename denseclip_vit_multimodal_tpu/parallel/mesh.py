@@ -47,7 +47,9 @@ def maybe_initialize_distributed() -> None:
     the backend.
 
     Launcher contract: managed environments (TPU pods, Slurm, OMPI) are
-    auto-detected by jax; ad-hoc launches (tools/dist_train.sh, tests) set
+    detected here by their own environment markers and handed to jax's
+    cluster auto-detection (`jax.distributed.initialize()` with no args);
+    ad-hoc launches (tools/dist_train.sh, tests) set
       JAX_COORDINATOR_ADDRESS=host:port  JAX_NUM_PROCESSES=N  JAX_PROCESS_ID=i
     — the latter two are this framework's extension (jax itself only reads
     the coordinator address from the env) and are forwarded explicitly.
@@ -56,7 +58,23 @@ def maybe_initialize_distributed() -> None:
 
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if not coord:
-        return  # single-process launch: nothing to do, backend untouched
+        # Managed multi-process runtimes carry their own markers; without
+        # this check a 2-node Slurm/OMPI launch would silently train as two
+        # independent single-process jobs (auto-detection only happens
+        # INSIDE jax.distributed.initialize, so someone must call it).
+        managed = (
+            int(os.environ.get("SLURM_NTASKS", "1")) > 1
+            or int(os.environ.get("OMPI_COMM_WORLD_SIZE", "1")) > 1
+            or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+        )
+        if not managed:
+            return  # single-process launch: nothing to do, backend untouched
+        from jax._src import distributed as _dist
+
+        if getattr(_dist.global_state, "client", None) is not None:
+            return
+        jax.distributed.initialize()  # cluster auto-detection
+        return
     from jax._src import distributed as _dist
 
     # already-initialized guard that does NOT touch the XLA backend
@@ -77,10 +95,9 @@ def make_mesh(
     """Build a mesh from an axis spec like ``{"data": -1}`` or
     ``{"data": 4, "model": 2}``.  A single ``-1`` axis absorbs all remaining
     devices (np.reshape semantics)."""
+    explicit_devices = devices is not None
     devices = list(devices if devices is not None else jax.devices())
     spec = dict(spec or {DATA_AXIS: -1})
-    if not spec:
-        spec = {DATA_AXIS: -1}
     axis_names = tuple(spec.keys())
     sizes = list(spec.values())
     n = len(devices)
@@ -94,6 +111,17 @@ def make_mesh(
         sizes = [n // fixed if s == -1 else s for s in sizes]
     elif fixed != n:
         raise ValueError(f"mesh {spec} needs {fixed} devices, have {n}")
+    if not explicit_devices and len(sizes) > 1:
+        # Topology-aware assignment: a flat reshape can place "model"-axis
+        # neighbors on non-adjacent ICI links; create_device_mesh picks an
+        # ordering whose inner axes ride the fastest links.  Explicit device
+        # lists (tests, sub-meshes) keep plain reshape semantics.
+        try:
+            from jax.experimental import mesh_utils
+
+            return Mesh(mesh_utils.create_device_mesh(sizes), axis_names)
+        except Exception:
+            pass  # e.g. host-platform device sets; fall through to reshape
     grid = np.asarray(devices).reshape(sizes)
     return Mesh(grid, axis_names)
 

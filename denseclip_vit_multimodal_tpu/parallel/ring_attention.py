@@ -83,8 +83,7 @@ def _ring_attention_local(
 
     qf = (q * sm_scale).astype(q.dtype)
 
-    def step(carry, t):
-        o, m, l, k_cur, v_cur = carry
+    def compute(o, m, l, k_cur, v_cur, t):
         # device i holds the K/V shard originally owned by (i - t) mod size
         shard = (my_idx - t) % size
         s = jnp.einsum(
@@ -103,11 +102,15 @@ def _ring_attention_local(
             v_cur,
             preferred_element_type=jnp.float32,
         )
-        o_new = o * corr.transpose(0, 2, 1)[..., None] + pv
+        return o * corr.transpose(0, 2, 1)[..., None] + pv, m_new, l_new
+
+    def step(carry, t):
+        o, m, l, k_cur, v_cur = carry
+        o, m, l = compute(o, m, l, k_cur, v_cur, t)
         perm = [(j, (j + 1) % size) for j in range(size)]
         k_next = jax.lax.ppermute(k_cur, axis_name, perm)
         v_next = jax.lax.ppermute(v_cur, axis_name, perm)
-        return (o_new, m_new, l_new, k_next, v_next), None
+        return (o, m, l, k_next, v_next), None
 
     b, nq, h, dh = q.shape
     # constants must be marked device-varying over the ring axis or the scan
@@ -120,7 +123,14 @@ def _ring_attention_local(
         k,
         v,
     )
-    (o, _, l, _, _), _ = jax.lax.scan(step, init, jnp.arange(size))
+    # size-1 compute+rotate steps in the scan, the LAST compute outside it:
+    # the final rotation's result is never read, and XLA cannot DCE
+    # collectives inside a scan body — keeping it wasted one full K/V-shard
+    # ICI exchange per call.
+    (o, m, l, k_last, v_last), _ = jax.lax.scan(
+        step, init, jnp.arange(size - 1)
+    )
+    o, _, l = compute(o, m, l, k_last, v_last, size - 1)
     return (o / l.transpose(0, 2, 1)[..., None]).astype(q.dtype)
 
 

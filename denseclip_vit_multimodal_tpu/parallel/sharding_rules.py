@@ -103,19 +103,34 @@ def shard_train_state(state, mesh: Mesh):
             spec = P()
         return spec
 
-    param_specs = jax.tree_util.tree_map_with_path(resolved, state.params)
-    flat_specs = {  # match opt-state leaves to param leaves by shape+dtype
-        (tuple(l.shape), str(l.dtype)): s
-    for l, s in zip(jax.tree.leaves(state.params), jax.tree.leaves(param_specs))}
+    # Match opt-state leaves (Adam mu/nu mirror the params dict structure
+    # inside optax wrapper states) to their param's spec BY KEY PATH: the
+    # longest suffix of the opt leaf's path that equals a full param path
+    # wins.  A (shape, dtype) lookup is ambiguous — two params sharing
+    # shape+dtype but different specs would collide last-wins and place one
+    # moment against the wrong sharding.
+    def _key(entry):
+        return str(getattr(entry, "key", getattr(entry, "name",
+                   getattr(entry, "idx", entry))))
 
-    def put_opt(leaf):
-        key = (tuple(getattr(leaf, "shape", ())), str(getattr(leaf, "dtype", "")))
-        spec = flat_specs.get(key, P())
-        if hasattr(leaf, "ndim") and leaf.ndim == 0:
-            spec = P()
+    spec_by_path = {}
+    def record(path, leaf):
+        spec_by_path[tuple(_key(p) for p in path)] = resolved(path, leaf)
+        return leaf
+    jax.tree_util.tree_map_with_path(record, state.params)
+
+    def put_opt(path, leaf):
+        spec = P()
+        if hasattr(leaf, "ndim") and leaf.ndim > 0:
+            keys = tuple(_key(p) for p in path)
+            for i in range(len(keys)):
+                got = spec_by_path.get(keys[i:])
+                if got is not None:
+                    spec = got
+                    break
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
-    opt_state = jax.tree.map(put_opt, state.opt_state)
+    opt_state = jax.tree_util.tree_map_with_path(put_opt, state.opt_state)
     rep = NamedSharding(mesh, P())
     return state.replace(
         params=params,

@@ -113,6 +113,31 @@ class TestMaybeInitializeDistributed:
         mesh_lib.maybe_initialize_distributed()
         assert calls == []
 
+    def test_managed_environment_triggers_auto_detection(self, monkeypatch):
+        """A multi-task Slurm/OMPI launch without JAX_COORDINATOR_ADDRESS
+        must still call jax.distributed.initialize() (no args — jax's own
+        cluster auto-detection), or two nodes silently train as independent
+        single-process jobs."""
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.setenv("SLURM_NTASKS", "2")
+        calls = []
+        monkeypatch.setattr(
+            jax.distributed, "initialize",
+            lambda *a, **k: calls.append((a, k)),
+        )
+        mesh_lib.maybe_initialize_distributed()
+        assert calls == [((), {})]
+
+    def test_single_task_slurm_is_noop(self, monkeypatch):
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.setenv("SLURM_NTASKS", "1")
+        calls = []
+        monkeypatch.setattr(
+            jax.distributed, "initialize", lambda *a, **k: calls.append(1)
+        )
+        mesh_lib.maybe_initialize_distributed()
+        assert calls == []
+
     def test_initialize_attempted_when_coordinator_set(self, monkeypatch):
         """initialize() must be reached from the env alone — the round-1 bug
         was querying jax.process_count() (which boots the backend
