@@ -93,3 +93,46 @@ def test_tp_param_shards_actually_split(tiny_model_cfg):
     # Each device holds 1/4 of the last dim.
     shard_shape = qkv.sharding.shard_shape(qkv.shape)
     assert shard_shape[-1] == qkv.shape[-1] // 4
+
+
+def test_opt_state_moments_match_param_shardings(tiny_model_cfg):
+    """Adam mu/nu must carry exactly their param's sharding — the old
+    (shape, dtype)-keyed matching collided last-wins when two params
+    shared shape and dtype with different specs."""
+    model, texts = build_denseclip(tiny_model_cfg, CITYSCAPES_CLASSES)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 64, 3)), jnp.asarray(texts)
+    )
+    tcfg = {"epochs": 1, "optimizer": {"lr": 1e-3},
+            "scheduler": {"type": "constant"}}
+    state = create_train_state(model, variables, tcfg, steps_per_epoch=1)
+    mesh = make_mesh({"data": 2, "model": 4})
+    state = shard_train_state(state, mesh)
+
+    param_shardings = {}
+
+    def record(path, leaf):
+        key = tuple(str(getattr(p, "key", p)) for p in path)
+        param_shardings[key] = leaf.sharding
+        return leaf
+
+    jax.tree_util.tree_map_with_path(record, state.params)
+
+    checked = 0
+
+    def check(path, leaf):
+        nonlocal checked
+        if not hasattr(leaf, "sharding") or getattr(leaf, "ndim", 0) == 0:
+            return leaf
+        keys = tuple(str(getattr(p, "key", p)) for p in path)
+        for i in range(len(keys)):
+            if keys[i:] in param_shardings:
+                assert leaf.sharding == param_shardings[keys[i:]], keys
+                checked += 1
+                break
+        return leaf
+
+    jax.tree_util.tree_map_with_path(check, state.opt_state)
+    # the trainable partition's mu and nu must both have been matched
+    n_params = len(jax.tree.leaves(state.params))
+    assert checked >= n_params // 2  # at least the trainable subset, x2 moments
