@@ -51,11 +51,15 @@ class Config(dict):
         return value
 
     def get(self, key, default=None):
-        value = super().get(key, default)
-        if isinstance(value, dict) and not isinstance(value, Config):
-            value = Config(value)
-            super().__setitem__(key, value)
-        return value
+        if key in self:
+            return self[key]  # __getitem__ wraps nested dicts (and caches)
+        if isinstance(default, dict) and not isinstance(default, Config):
+            # wrap for attribute access, but do NOT insert: a read accessor
+            # must not grow the config (spurious empty sections would leak
+            # into the final_config.yaml dump, and a caller's shared
+            # mutable default must not be captured)
+            return Config(default)
+        return default
 
     def to_dict(self) -> Dict[str, Any]:
         def unwrap(v):

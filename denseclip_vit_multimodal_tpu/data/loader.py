@@ -119,14 +119,12 @@ class DataLoader:
             while cursor < min(2, nb):
                 window.append(submit_batch(cursor))
                 cursor += 1
-            emitted = 0
             while window:
                 futures = window.popleft()
                 if cursor < nb:
                     window.append(submit_batch(cursor))
                     cursor += 1
                 yield _stack_batch([f.result() for f in futures])
-                emitted += 1
 
 
 def device_prefetch(

@@ -44,7 +44,15 @@ def save_checkpoint(
     is_best: bool = False,
     keep: int = 5,
 ) -> str:
-    """Save `epoch_{N}` and update `latest` (+ `best` when is_best)."""
+    """Save `epoch_{N}` and update `latest` (+ `best` when is_best).
+
+    Multi-host: EVERY process must call this — orbax saves of
+    non-fully-addressable (replicated/sharded) arrays are collective, so a
+    process-0-only call would hang waiting for the other hosts.  The
+    rolling prune below runs on process 0 only.
+    """
+    import jax
+
     base = _ckpt_dir(work_dir)
     os.makedirs(base, exist_ok=True)
     payload = {
@@ -63,6 +71,8 @@ def save_checkpoint(
         if is_best:
             saver.save(os.path.join(base, "best"), payload, force=True)
     # Rolling window of epoch_N dirs (latest/best never pruned).
+    if jax.process_index() != 0:
+        return path
     epochs = sorted(
         (
             int(d.split("_", 1)[1])

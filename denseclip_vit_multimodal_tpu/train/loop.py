@@ -38,7 +38,6 @@ from denseclip_vit_multimodal_tpu.models.denseclip import (
 )
 from denseclip_vit_multimodal_tpu.parallel import mesh as mesh_lib
 from denseclip_vit_multimodal_tpu.train import checkpoint as ckpt_lib
-from denseclip_vit_multimodal_tpu.train.clip_import import load_clip_into_denseclip
 from denseclip_vit_multimodal_tpu.train.metrics import (
     accuracy_from_confusion,
     finalize_depth_errors,
@@ -123,12 +122,9 @@ def validate(
     eval_step,
     val_loader: DataLoader,
     mesh,
-    num_classes: int,
     logger: logging.Logger,
     max_batches: Optional[int] = None,
     visualize_to: Optional[str] = None,
-    norm_mean=None,
-    norm_std=None,
 ) -> Dict[str, float]:
     """Run the eval epoch; returns scalar metrics (reference validate,
     train_denseclip.py:293-686, but device-reduced instead of rank-0).
@@ -375,6 +371,24 @@ def train(cfg, work_dir: str, resume: Optional[str] = None,
         logger.info("loaded CLIP weights: %d visual / %d text leaves", n_vis, n_txt)
     elif clip_path:
         logger.warning("clip_pretrained %s not found; training from scratch", clip_path)
+    if jax.process_count() > 1:
+        # Every process initializes its own replica from its LOCAL disk; if
+        # the CLIP file exists on some hosts but not others the replicas
+        # silently diverge (mesh_lib.replicate assumes identical params by
+        # construction).  Fail loudly instead.
+        from jax.experimental import multihost_utils
+
+        loaded = bool(clip_path and os.path.exists(str(clip_path)))
+        flags = np.asarray(
+            multihost_utils.process_allgather(np.asarray([loaded]))
+        ).ravel()
+        if flags.any() and not flags.all():
+            raise RuntimeError(
+                f"clip_pretrained {clip_path} exists on only "
+                f"{int(flags.sum())}/{len(flags)} processes — put the "
+                "checkpoint on shared storage (or every host) so all "
+                "replicas initialize identically"
+            )
 
     # --- state / steps ---
     state = create_train_state(model, variables, training_cfg, steps_per_epoch)
@@ -411,6 +425,9 @@ def train(cfg, work_dir: str, resume: Optional[str] = None,
         eval_cfg,
         num_classes=len(class_names),
         depth_max=float(data_cfg.get("depth_max", 80.0)),
+        # same lambd as training — a mismatched default would make
+        # val_loss_silog incomparable with the optimized objective
+        silog_lambd=float(silog_cfg.get("lambd", 0.5)),
     )
 
     start_epoch = 0
@@ -434,20 +451,24 @@ def train(cfg, work_dir: str, resume: Optional[str] = None,
 
     total_steps = 0
     last_val: Dict[str, float] = {}
+    reached_epoch = None  # last epoch the loop actually entered
     for epoch in range(start_epoch, epochs):
         t_epoch = time.time()
-        epoch_losses: Dict[str, list] = {}
+        # Accumulate metric sums ON DEVICE and fetch once per key at epoch
+        # end — a per-step list fetched scalar-by-scalar later costs
+        # steps x keys blocking ~30 ms RPCs through a relay-attached chip.
+        epoch_sums: Dict[str, Any] = {}
+        steps_this_epoch = 0
         for i, batch in enumerate(
             device_prefetch(train_loader.epoch(epoch), mesh=mesh)
         ):
             state, metrics = train_step(state, batch, loop_rng)
             total_steps += 1
+            steps_this_epoch += 1
             for k, v in metrics.items():
-                epoch_losses.setdefault(k, []).append(v)
+                epoch_sums[k] = v if k not in epoch_sums else epoch_sums[k] + v
             if is_main and (i + 1) % log_interval == 0:
-                snapshot = {
-                    k: float(v[-1]) for k, v in epoch_losses.items()
-                }
+                snapshot = {k: float(v) for k, v in metrics.items()}
                 logger.info(
                     "epoch %d step %d/%d: %s",
                     epoch, i + 1, steps_per_epoch,
@@ -460,8 +481,8 @@ def train(cfg, work_dir: str, resume: Optional[str] = None,
                 break
 
         epoch_means = {
-            k: float(np.mean([float(x) for x in v]))
-            for k, v in epoch_losses.items()
+            k: float(v) / max(steps_this_epoch, 1)
+            for k, v in epoch_sums.items()
         }
         logger.info(
             "epoch %d done in %.1fs: %s",
@@ -478,27 +499,31 @@ def train(cfg, work_dir: str, resume: Optional[str] = None,
                     work_dir, "visualizations", f"epoch_{epoch}.png"
                 )
             last_val = validate(
-                state, eval_step, val_loader, mesh, len(class_names), logger,
+                state, eval_step, val_loader, mesh, logger,
                 visualize_to=vis_path,
             )
             if is_main:
                 writer.scalars("val", last_val, epoch)
                 writer.csv_row({"epoch": epoch, **epoch_means, **last_val})
+            # validation metrics are device-reduced and identical on every
+            # process, so the best decision (and the collective save below)
+            # is taken uniformly — orbax saves must run on ALL processes
             score = last_val.get("miou", -1.0)
-            if is_main and score > best_metric:
+            if score > best_metric:
                 best_metric = score
                 ckpt_lib.save_checkpoint(
                     work_dir, state, epoch, best_metric, is_best=True
                 )
-        if is_main and (epoch + 1) % save_interval == 0:
+        reached_epoch = epoch
+        if (epoch + 1) % save_interval == 0:
             ckpt_lib.save_checkpoint(work_dir, state, epoch, best_metric)
         if shutdown.requested:
             # Preemption (SIGTERM, e.g. TPU maintenance events): save a
             # resumable checkpoint at the current epoch and exit cleanly —
             # `--resume latest` continues from here.  The reference's only
             # recovery is manual (SURVEY.md §5.3).
+            ckpt_lib.save_checkpoint(work_dir, state, epoch, best_metric)
             if is_main:
-                ckpt_lib.save_checkpoint(work_dir, state, epoch, best_metric)
                 logger.info(
                     "shutdown requested: checkpoint saved at epoch %d", epoch
                 )
@@ -507,7 +532,11 @@ def train(cfg, work_dir: str, resume: Optional[str] = None,
             break
 
     shutdown.restore()
-    if is_main:
-        ckpt_lib.save_checkpoint(work_dir, state, max(epochs - 1, start_epoch), best_metric)
+    if reached_epoch is not None and not shutdown.requested:
+        # Stamp the epoch actually reached — stamping `epochs - 1` here
+        # would clobber a preemption/max-steps checkpoint with a final
+        # epoch number, making `--resume latest` skip the remaining
+        # training entirely.
+        ckpt_lib.save_checkpoint(work_dir, state, reached_epoch, best_metric)
     writer.close()
     return last_val

@@ -103,16 +103,13 @@ def build_optimizer(
         return jax.tree_util.tree_map_with_path(keep, p)
 
     def adamw_for(mult: float) -> optax.GradientTransformation:
-        chain = [
+        return optax.chain(
             optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps),
             optax.add_decayed_weights(weight_decay, mask=wd_mask),
             optax.scale_by_learning_rate(
                 lambda step: schedule(step) * mult
             ),
-        ]
-        if clip_grad_norm:
-            chain.insert(0, optax.clip_by_global_norm(clip_grad_norm))
-        return optax.chain(*chain)
+        )
 
     labels = label_params(params, frozen_modules)
     label_set = set(jax.tree.leaves(labels))
@@ -122,7 +119,16 @@ def build_optimizer(
             transforms[label] = optax.set_to_zero()
         else:
             transforms[label] = adamw_for(float(lr_mults.get(label, 1.0)))
-    return optax.multi_transform(transforms, labels)
+    tx = optax.multi_transform(transforms, labels)
+    if clip_grad_norm:
+        # ONE global-norm clip over the whole gradient tree, applied before
+        # the per-module transforms — inside multi_transform each label
+        # group would clip its own subtree independently, letting the true
+        # global norm reach sqrt(n_groups) x the threshold (torch
+        # clip_grad_norm_ semantics are global; frozen branches carry
+        # zero-filled grads so they don't perturb the norm).
+        tx = optax.chain(optax.clip_by_global_norm(clip_grad_norm), tx)
+    return tx
 
 
 def _lr_mults_from_cfg(get) -> Optional[Dict[str, float]]:
