@@ -102,6 +102,21 @@ def main() -> None:
     expect = nproc * (nproc + 1) // 2
     assert (gsum == expect).all(), gsum
 
+    # Collective checkpoint save/restore (when the test provides a shared
+    # dir): orbax saves of non-fully-addressable (multi-host replicated)
+    # arrays are collective — EVERY process must call save, the exact
+    # contract train/loop.py relies on.  A process-0-only save would hang
+    # here.
+    ckpt_dir = os.environ.get("MPLIVE_CKPT_DIR")
+    if ckpt_dir:
+        from denseclip_vit_multimodal_tpu.train import checkpoint as ckpt_lib
+
+        ckpt_lib.save_checkpoint(ckpt_dir, state, epoch=0, best_metric=0.5)
+        restored, epoch, best = ckpt_lib.restore_checkpoint(ckpt_dir, state)
+        assert epoch == 0 and abs(best - 0.5) < 1e-6, (epoch, best)
+        assert int(restored.step) == int(state.step)
+        print(f"MPLIVE_CKPT rank={rank} ok", flush=True)
+
     print(f"MPLIVE rank={rank} nproc={nproc} loss={loss!r}", flush=True)
 
 

@@ -60,13 +60,22 @@ def _parse_loss(stdout: str, want_rank: int, want_nproc: int) -> float:
     raise AssertionError(f"no MPLIVE line in output:\n{stdout}")
 
 
-def test_two_process_train_step_matches_single_process():
+def test_two_process_train_step_matches_single_process(tmp_path):
     coord = f"localhost:{_free_port()}"
+
+    def env_for(rank):
+        env = _worker_env(4, coord=coord, nproc=2, rank=rank)
+        # shared dir -> the workers also exercise the COLLECTIVE orbax
+        # save/restore path (all processes must call save; a rank-0-only
+        # save of multi-host replicated arrays would hang)
+        env["MPLIVE_CKPT_DIR"] = str(tmp_path)
+        return env
+
     procs = [
         subprocess.Popen(
             [sys.executable, WORKER],
             cwd=REPO_ROOT,
-            env=_worker_env(4, coord=coord, nproc=2, rank=r),
+            env=env_for(r),
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
@@ -84,6 +93,9 @@ def test_two_process_train_step_matches_single_process():
                 p.kill()
     for r, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {r} failed:\n{out}"
+        assert f"MPLIVE_CKPT rank={r} ok" in out, (
+            f"collective checkpoint save did not complete on rank {r}:\n{out}"
+        )
     losses = [_parse_loss(out, r, 2) for r, out in enumerate(outs)]
 
     # both ranks fetch the same replicated global loss
