@@ -84,13 +84,21 @@ class DenseCLIP(nn.Module):
         deterministic: bool,
     ) -> jnp.ndarray:
         """Text features [B, K, text_dim], with prompt learning + context fusion."""
-        if self.is_context_encoder and self.num_learnable_contexts > 0:
-            contexts = self.param(
-                "contexts",
-                nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0),
-                (1, self.num_learnable_contexts, self.token_embed_dim),
-                jnp.float32,
-            )
+        if self.is_context_encoder:
+            if self.num_learnable_contexts > 0:
+                contexts = self.param(
+                    "contexts",
+                    nn.initializers.truncated_normal(
+                        stddev=0.02, lower=-2.0, upper=2.0
+                    ),
+                    (1, self.num_learnable_contexts, self.token_embed_dim),
+                    jnp.float32,
+                )
+            else:
+                # capacity == fixed length -> nothing to learn; a zero-width
+                # context splices to a no-op (the reference warns and passes
+                # contexts=None, denseclip.py:383-386 — same semantics)
+                contexts = jnp.zeros((1, 0, self.token_embed_dim), jnp.float32)
             # The learnable prompt is batch-invariant, so the tower output is
             # identical for every batch element: encode ONCE and broadcast —
             # the same encode-once-then-expand the reference does
@@ -280,7 +288,12 @@ def build_denseclip(
     bb = dict(cfg["backbone"])
     bb_type = bb.pop("type")
     if bb_type == "CLIPVisionTransformer":
-        out_indices = tuple(bb.get("out_indices", [bb.get("layers", 12) - 1]))
+        # dedup+sort like the backbone does (vit.py taps sorted(set(...)));
+        # counting raw duplicates here would build a neck whose num_inputs
+        # the backbone can never satisfy
+        out_indices = tuple(
+            sorted(set(bb.get("out_indices", [bb.get("layers", 12) - 1])))
+        )
         backbone = CLIPVisionTransformer(
             patch_size=int(bb.get("patch_size", 16)),
             width=int(bb.get("width", 768)),
@@ -444,7 +457,10 @@ def build_denseclip(
                 in_channels=int(dph.get("in_channels", head_in_channels)),
                 channels=int(dph.get("channels", 128)),
                 num_outputs=1,
-                dropout_ratio=float(dph.get("dropout_ratio", 0.0)),
+                # torchvision FCNHead hard-codes Dropout(0.1); the reference
+                # depth head inherits it (reference denseclip.py:343-349),
+                # so that is the parity default here too.
+                dropout_ratio=float(dph.get("dropout_ratio", 0.1)),
                 dtype=dtype,
             )
         else:

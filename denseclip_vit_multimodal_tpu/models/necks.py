@@ -101,6 +101,13 @@ class FPN(nn.Module):
             conv(3, f"output_{i}")(lat) for i, lat in enumerate(laterals)
         ]
         num_outs = self.num_outs or len(outs)
+        if num_outs > len(outs) + 1:
+            # only ONE extra (LastLevelMaxPool) level can be appended;
+            # silently returning fewer levels than requested would surface
+            # as an IndexError far from the misconfiguration
+            raise ValueError(
+                f"FPN num_outs={num_outs} > num_inputs+1={len(outs) + 1}"
+            )
         if num_outs > len(outs):
             # LastLevelMaxPool: stride-2 max pool of the coarsest level
             # (reference denseclip.py:271-274).

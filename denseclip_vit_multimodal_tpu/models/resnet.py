@@ -23,7 +23,6 @@ from __future__ import annotations
 
 from typing import Any, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -177,10 +176,10 @@ class AttentionPool2d(nn.Module):
             (self.spacial_dim**2 + 1, c),
             jnp.float32,
         )
-        if (h, w) != (self.spacial_dim, self.spacial_dim):
-            spatial = pos[1:].reshape(self.spacial_dim, self.spacial_dim, c)
-            spatial = jax.image.resize(spatial, (h, w, c), method="bilinear")
-            pos = jnp.concatenate([pos[:1], spatial.reshape(h * w, c)], axis=0)
+        # same cls+spatial resampling the ViT uses (one implementation)
+        from denseclip_vit_multimodal_tpu.models.vit import interpolate_pos_embed
+
+        pos = interpolate_pos_embed(pos, self.spacial_dim, (h, w))
         seq = seq + pos.astype(seq.dtype)[None]
 
         dense = lambda feats, name: nn.Dense(
@@ -234,7 +233,6 @@ class CLIPResNetWithAttention(nn.Module):
                 blocks, self.width * mult, stride, dtype=self.dtype, name=f"layer{i + 1}"
             )(x, train=train)
             outs.append(x)
-        embed_dim = self.width * 32
         global_feat, local_map = AttentionPool2d(
             spacial_dim=self.input_resolution // 32,
             num_heads=32,

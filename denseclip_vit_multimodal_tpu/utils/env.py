@@ -135,8 +135,20 @@ class GracefulShutdown:
             self._installed = False
 
     def _handle(self, signum, frame):
-        if self.requested and callable(self._prev):
-            self._prev(signum, frame)
+        if self.requested:
+            # second SIGTERM: the save may be wedged — actually fall
+            # through.  A callable previous handler runs directly; for
+            # SIG_DFL/SIG_IGN/None (the common dispositions) reinstall the
+            # default action and re-deliver so the process dies instead of
+            # swallowing every subsequent SIGTERM.
+            if callable(self._prev):
+                self._prev(signum, frame)
+            else:
+                import os
+
+                self._signal.signal(signum, self._signal.SIG_DFL)
+                self._installed = False
+                os.kill(os.getpid(), signum)
             return
         self.requested = True
         if self._logger is not None:

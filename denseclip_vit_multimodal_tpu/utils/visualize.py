@@ -45,7 +45,7 @@ def colorize_seg(
     """[H, W] int labels -> [H, W, 3] uint8 (ignore -> black)."""
     palette = CITYSCAPES_PALETTE if palette is None else palette
     out = np.zeros(seg.shape + (3,), np.uint8)
-    valid = (seg != ignore_index) & (seg < len(palette))
+    valid = (seg != ignore_index) & (seg < len(palette)) & (seg >= 0)
     out[valid] = palette[seg[valid]]
     return out
 

@@ -151,14 +151,34 @@ def test_train_step_loss_decreases(tiny_setup):
     assert losses[-1] < losses[0], losses
 
 
-def test_grad_accum_matches_full_batch(tiny_setup):
+def test_grad_accum_matches_full_batch(tiny_model_cfg):
     """Microbatched gradients track the full-batch gradient.
 
-    Not bit-equal: BN statistics, dropout draws, and CE valid-pixel
-    weighting are per-microbatch (as in the reference's accumulation,
-    train_denseclip.py:1154); tolerances bound the scale instead.
+    Not bit-equal: BN statistics and CE valid-pixel weighting are
+    per-microbatch (as in the reference's accumulation,
+    train_denseclip.py:1154); tolerances bound the scale instead.  Head
+    dropout is disabled for the comparison — different microbatch shapes
+    draw different masks, which is dropout variance, not accumulation
+    error.
     """
-    _, texts, state = tiny_setup
+    import copy
+
+    cfg = copy.deepcopy(dict(tiny_model_cfg))
+    cfg["decode_head"]["dropout_ratio"] = 0.0
+    cfg["depth_head"]["dropout_ratio"] = 0.0
+    model, texts = build_denseclip(cfg, CITYSCAPES_CLASSES)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 32, 64, 3), jnp.float32),
+        jnp.asarray(texts),
+    )
+    training_cfg = {
+        "epochs": 4,
+        "batch_size": 4,
+        "optimizer": {"lr": 1e-3, "weight_decay": 0.01},
+        "scheduler": {"type": "CosineAnnealingLR", "T_max": 4, "eta_min": 1e-6},
+    }
+    state = create_train_state(model, variables, training_cfg, steps_per_epoch=2)
     aug = AugmentConfig(crop_size=(32, 64), scale_range=(1.0, 1.0), hflip_prob=0.0)
     batch = jax.tree.map(jnp.asarray, _raw_batch(b=4))
     s1, m1 = make_train_step(texts, aug)(_clone(state), batch, jax.random.PRNGKey(0))
