@@ -27,6 +27,27 @@ def _ckpt_dir(work_dir: str) -> str:
     return os.path.join(os.path.abspath(work_dir), "checkpoints")
 
 
+_ASYNC_SAVER: Optional[ocp.AsyncCheckpointer] = None
+
+
+def _async_saver() -> ocp.AsyncCheckpointer:
+    global _ASYNC_SAVER
+    if _ASYNC_SAVER is None:
+        _ASYNC_SAVER = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_SAVER
+
+
+def wait_for_pending_saves() -> None:
+    """Block until any async checkpoint writes have committed.
+
+    Call before process exit, before restoring from a directory that may
+    still be being written, and on preemption (the final save must be
+    durable before the job dies).
+    """
+    if _ASYNC_SAVER is not None:
+        _ASYNC_SAVER.wait_until_finished()
+
+
 def _state_payload(state: TrainState) -> Dict[str, Any]:
     return {
         "step": state.step,
@@ -43,6 +64,7 @@ def save_checkpoint(
     best_metric: Optional[float] = None,
     is_best: bool = False,
     keep: int = 5,
+    async_save: bool = False,
 ) -> str:
     """Save `epoch_{N}` and update `latest` (+ `best` when is_best).
 
@@ -50,6 +72,11 @@ def save_checkpoint(
     non-fully-addressable (replicated/sharded) arrays are collective, so a
     process-0-only call would hang waiting for the other hosts.  The
     rolling prune below runs on process 0 only.
+
+    `async_save=True` (`training.async_checkpoint` in the config) returns
+    after the device→host snapshot; the serialization/commit overlaps the
+    next training steps.  Callers must `wait_for_pending_saves()` before
+    exiting or restoring (train/loop.py does).
     """
     import jax
 
@@ -64,12 +91,21 @@ def save_checkpoint(
             ),
         },
     }
-    with ocp.StandardCheckpointer() as saver:
-        path = os.path.join(base, f"epoch_{epoch}")
-        saver.save(path, payload, force=True)
-        saver.save(os.path.join(base, "latest"), payload, force=True)
-        if is_best:
-            saver.save(os.path.join(base, "best"), payload, force=True)
+    targets = [os.path.join(base, f"epoch_{epoch}"),
+               os.path.join(base, "latest")]
+    if is_best:
+        targets.append(os.path.join(base, "best"))
+    path = targets[0]
+    if async_save:
+        saver = _async_saver()
+        for t in targets:
+            # AsyncCheckpointer serializes queued saves internally; the
+            # call returns once the in-memory snapshot is taken
+            saver.save(t, args=ocp.args.StandardSave(payload), force=True)
+    else:
+        with ocp.StandardCheckpointer() as saver:
+            for t in targets:
+                saver.save(t, payload, force=True)
     # Rolling window of epoch_N dirs (latest/best never pruned).
     if jax.process_index() != 0:
         return path

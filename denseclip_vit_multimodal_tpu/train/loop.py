@@ -446,6 +446,9 @@ def train(cfg, work_dir: str, resume: Optional[str] = None,
 
     eval_interval = int(training_cfg.get("eval_interval", 1))
     save_interval = int(training_cfg.get("save_interval", 5))
+    # async saves overlap serialization/commit with the next steps;
+    # every exit path below waits for pending writes to commit
+    async_save = bool(training_cfg.get("async_checkpoint", False))
     log_interval = int(training_cfg.get("log_interval", 50))
     rng, loop_rng = jax.random.split(rng)
 
@@ -512,17 +515,20 @@ def train(cfg, work_dir: str, resume: Optional[str] = None,
             if score > best_metric:
                 best_metric = score
                 ckpt_lib.save_checkpoint(
-                    work_dir, state, epoch, best_metric, is_best=True
+                    work_dir, state, epoch, best_metric, is_best=True,
+                    async_save=async_save,
                 )
         reached_epoch = epoch
         if (epoch + 1) % save_interval == 0:
-            ckpt_lib.save_checkpoint(work_dir, state, epoch, best_metric)
+            ckpt_lib.save_checkpoint(work_dir, state, epoch, best_metric,
+                                     async_save=async_save)
         if shutdown.requested:
             # Preemption (SIGTERM, e.g. TPU maintenance events): save a
             # resumable checkpoint at the current epoch and exit cleanly —
             # `--resume latest` continues from here.  The reference's only
             # recovery is manual (SURVEY.md §5.3).
             ckpt_lib.save_checkpoint(work_dir, state, epoch, best_metric)
+            ckpt_lib.wait_for_pending_saves()  # durable before the job dies
             if is_main:
                 logger.info(
                     "shutdown requested: checkpoint saved at epoch %d", epoch
@@ -537,6 +543,8 @@ def train(cfg, work_dir: str, resume: Optional[str] = None,
         # would clobber a preemption/max-steps checkpoint with a final
         # epoch number, making `--resume latest` skip the remaining
         # training entirely.
-        ckpt_lib.save_checkpoint(work_dir, state, reached_epoch, best_metric)
+        ckpt_lib.save_checkpoint(work_dir, state, reached_epoch, best_metric,
+                                 async_save=async_save)
+    ckpt_lib.wait_for_pending_saves()
     writer.close()
     return last_val

@@ -266,3 +266,29 @@ def test_nan_batch_skips_update(tiny_setup):
             stats_before, new_state.batch_stats,
         )
         assert int(new_state.step) == 1  # counter still advances
+
+
+def test_async_checkpoint_roundtrip(tiny_setup, tmp_path):
+    """async_save returns immediately; after wait_for_pending_saves the
+    checkpoint is durable and restores identically (training.async_checkpoint
+    opt-in — serialization overlaps the next steps)."""
+    import os
+
+    from denseclip_vit_multimodal_tpu.train.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+        wait_for_pending_saves,
+    )
+
+    _, texts, state = tiny_setup
+    save_checkpoint(str(tmp_path), state, epoch=1, best_metric=0.7,
+                    is_best=True, async_save=True)
+    wait_for_pending_saves()
+    restored, epoch, best = restore_checkpoint(str(tmp_path), state)
+    assert epoch == 1 and best == pytest.approx(0.7)
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["contexts"]),
+        np.asarray(state.params["contexts"]),
+    )
+    base = os.path.join(str(tmp_path), "checkpoints")
+    assert set(os.listdir(base)) >= {"epoch_1", "latest", "best"}
