@@ -42,8 +42,10 @@ def test_preset_builds_model_and_schedule(preset):
 class TestSchedulePresets:
     @pytest.mark.parametrize(
         "name,iters,min_lr",
+        # min_lr values per reference _base_/schedules/schedule_*.py
+        # (the 80k preset is 1e-6 there, unlike its 20k/40k siblings)
         [("20k", 20000, 1e-4), ("40k", 40000, 1e-4),
-         ("80k", 80000, 1e-4), ("160k", 160000, 1e-5)],
+         ("80k", 80000, 1e-6), ("160k", 160000, 1e-5)],
     )
     def test_iteration_schedules(self, name, iters, min_lr):
         cfg = load_config(
