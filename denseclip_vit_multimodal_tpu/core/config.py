@@ -194,7 +194,12 @@ def resolve_test_protocol(cfg, crop=None, stride=None, window_batch=None):
     Returns (crop [h, w], stride [h, w], window_batch int).
     """
     t = cfg.get("test", {}) or {}
-    crop = list(crop) if crop is not None else list(t.get("crop", [640, 640]))
+    # both spellings accepted: `crop` (native) and `crop_size` (the
+    # reference's mmseg test_cfg key, used by the heritage presets)
+    crop = (
+        list(crop) if crop is not None
+        else list(t.get("crop", t.get("crop_size", [640, 640])))
+    )
     stride = (
         list(stride) if stride is not None
         else list(t.get("stride", [426, 426]))

@@ -113,3 +113,12 @@ def test_resolve_test_protocol_defaults_and_overrides():
     # ViT-B flagship: reference crop/stride + the wb-20 execution default
     cfg_b = load_config("configs/denseclip_vitb16_cityscapes_multitask.yaml")
     assert resolve_test_protocol(cfg_b) == ([640, 640], [426, 426], 20)
+
+
+def test_resolve_test_protocol_accepts_mmseg_crop_size_spelling():
+    from denseclip_vit_multimodal_tpu.core.config import resolve_test_protocol
+
+    crop, stride, wb = resolve_test_protocol(
+        {"test": {"crop_size": [512, 512], "stride": [341, 341]}}
+    )
+    assert (crop, stride, wb) == ([512, 512], [341, 341], 0)
