@@ -87,7 +87,12 @@ class DataLoader:
             order = np.arange(n)
         total = self._per_process_count() * self.process_count
         if total > n:
-            order = np.concatenate([order, order[: total - n]])
+            # TILE the permutation out to `total` (np.resize repeats) — a
+            # single wrap of at most n extras is not enough when
+            # process_count exceeds ~2n (tiny smoke datasets on a pod) and
+            # would leave some ranks with zero samples, stranding the
+            # others inside a collective step.
+            order = np.resize(order, total)
         return order[self.process_index :: self.process_count]
 
     def _fetch(self, idx: int) -> Dict[str, np.ndarray]:

@@ -62,9 +62,21 @@ def maybe_initialize_distributed() -> None:
         # this check a 2-node Slurm/OMPI launch would silently train as two
         # independent single-process jobs (auto-detection only happens
         # INSIDE jax.distributed.initialize, so someone must call it).
+        # Require a PER-TASK marker, not just allocation-level vars: a
+        # plain `python tools/...` inside an sbatch allocation created
+        # with --ntasks=2 sees SLURM_NTASKS=2 but is a single process —
+        # initializing there would wait forever for peers.  SLURM_PROCID /
+        # OMPI_COMM_WORLD_RANK only exist for processes srun/mpirun
+        # actually launched as one of N tasks.
         managed = (
-            int(os.environ.get("SLURM_NTASKS", "1")) > 1
-            or int(os.environ.get("OMPI_COMM_WORLD_SIZE", "1")) > 1
+            (
+                int(os.environ.get("SLURM_NTASKS", "1")) > 1
+                and os.environ.get("SLURM_PROCID") is not None
+            )
+            or (
+                int(os.environ.get("OMPI_COMM_WORLD_SIZE", "1")) > 1
+                and os.environ.get("OMPI_COMM_WORLD_RANK") is not None
+            )
             or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
         )
         if not managed:

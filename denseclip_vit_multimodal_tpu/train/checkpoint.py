@@ -37,6 +37,21 @@ def _async_saver() -> ocp.AsyncCheckpointer:
     return _ASYNC_SAVER
 
 
+def _repoint_symlink(link_path: str, target_name: str) -> None:
+    """Atomically (re)point `link_path` at a sibling directory."""
+    tmp = link_path + ".tmp"
+    if os.path.lexists(tmp):
+        os.unlink(tmp)
+    os.symlink(target_name, tmp)
+    if os.path.isdir(link_path) and not os.path.islink(link_path):
+        # a real dir from an earlier sync-mode save: os.replace cannot
+        # overwrite a directory
+        import shutil
+
+        shutil.rmtree(link_path)
+    os.replace(tmp, link_path)
+
+
 def wait_for_pending_saves() -> None:
     """Block until any async checkpoint writes have committed.
 
@@ -73,10 +88,14 @@ def save_checkpoint(
     process-0-only call would hang waiting for the other hosts.  The
     rolling prune below runs on process 0 only.
 
-    `async_save=True` (`training.async_checkpoint` in the config) returns
-    after the device→host snapshot; the serialization/commit overlaps the
-    next training steps.  Callers must `wait_for_pending_saves()` before
-    exiting or restoring (train/loop.py does).
+    `async_save=True` (`training.async_checkpoint` in the config) writes
+    ONE dir (`epoch_{N}`) in the background and repoints `latest`/`best`
+    as atomic symlinks — AsyncCheckpointer.save blocks on the previous
+    save's commit at entry, so queueing three full copies would stall the
+    loop for most of a sync save anyway.  The symlink dangles until the
+    background commit lands (orbax renames the tmp dir into place);
+    callers must `wait_for_pending_saves()` before exiting or restoring
+    (train/loop.py does).
     """
     import jax
 
@@ -91,20 +110,24 @@ def save_checkpoint(
             ),
         },
     }
-    targets = [os.path.join(base, f"epoch_{epoch}"),
-               os.path.join(base, "latest")]
-    if is_best:
-        targets.append(os.path.join(base, "best"))
-    path = targets[0]
+    path = os.path.join(base, f"epoch_{epoch}")
+    aliases = ["latest"] + (["best"] if is_best else [])
     if async_save:
-        saver = _async_saver()
-        for t in targets:
-            # AsyncCheckpointer serializes queued saves internally; the
-            # call returns once the in-memory snapshot is taken
-            saver.save(t, args=ocp.args.StandardSave(payload), force=True)
+        _async_saver().save(
+            path, args=ocp.args.StandardSave(payload), force=True
+        )
+        if jax.process_index() == 0:
+            for name in aliases:
+                _repoint_symlink(os.path.join(base, name), f"epoch_{epoch}")
     else:
         with ocp.StandardCheckpointer() as saver:
-            for t in targets:
+            saver.save(path, payload, force=True)
+            for name in aliases:
+                t = os.path.join(base, name)
+                if os.path.islink(t):
+                    # leftover async alias: force-saving THROUGH a symlink
+                    # would clobber the epoch dir it points at
+                    os.unlink(t)
                 saver.save(t, payload, force=True)
     # Rolling window of epoch_N dirs (latest/best never pruned).
     if jax.process_index() != 0:
@@ -116,7 +139,16 @@ def save_checkpoint(
             if d.startswith("epoch_") and d.split("_", 1)[1].isdigit()
         ),
     )
+    # epoch dirs an alias symlink still points at must survive the window
+    # (async mode's `best` can reference an arbitrarily old epoch)
+    pinned = set()
+    for name in ("latest", "best"):
+        link = os.path.join(base, name)
+        if os.path.islink(link):
+            pinned.add(os.path.basename(os.readlink(link)))
     for old in epochs[:-keep] if keep else []:
+        if f"epoch_{old}" in pinned:
+            continue
         old_path = os.path.join(base, f"epoch_{old}")
         try:
             import shutil

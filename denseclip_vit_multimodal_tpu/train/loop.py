@@ -527,8 +527,10 @@ def train(cfg, work_dir: str, resume: Optional[str] = None,
             # resumable checkpoint at the current epoch and exit cleanly —
             # `--resume latest` continues from here.  The reference's only
             # recovery is manual (SURVEY.md §5.3).
+            # drain any in-flight async save FIRST — a sync writer racing a
+            # pending background commit on the same `latest` dir corrupts it
+            ckpt_lib.wait_for_pending_saves()
             ckpt_lib.save_checkpoint(work_dir, state, epoch, best_metric)
-            ckpt_lib.wait_for_pending_saves()  # durable before the job dies
             if is_main:
                 logger.info(
                     "shutdown requested: checkpoint saved at epoch %d", epoch

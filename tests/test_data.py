@@ -290,3 +290,14 @@ def test_loader_equal_batches_across_processes_with_remainder():
     # All real samples are still covered across ranks (wrap-padding only).
     i0, i1 = (set(ld._epoch_indices(0)) for ld in loaders)
     assert i0 | i1 == set(range(9))
+
+    # pathological: world >> dataset (pod smoke runs) — the permutation is
+    # TILED so every rank still gets the same nonzero count
+    tiny = SyntheticDataset(length=3, image_size=(16, 32))
+    many = [
+        DataLoader(tiny, batch_size=1, shuffle=False, num_threads=1,
+                   process_index=i, process_count=8)
+        for i in range(8)
+    ]
+    per_rank = [len(ld._epoch_indices(0)) for ld in many]
+    assert per_rank == [1] * 8, per_rank

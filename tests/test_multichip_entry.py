@@ -120,6 +120,7 @@ class TestMaybeInitializeDistributed:
         single-process jobs."""
         monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
         monkeypatch.setenv("SLURM_NTASKS", "2")
+        monkeypatch.setenv("SLURM_PROCID", "0")  # srun-launched task marker
         calls = []
         monkeypatch.setattr(
             jax.distributed, "initialize",
@@ -127,6 +128,20 @@ class TestMaybeInitializeDistributed:
         )
         mesh_lib.maybe_initialize_distributed()
         assert calls == [((), {})]
+
+    def test_allocation_without_task_rank_is_noop(self, monkeypatch):
+        """SLURM_NTASKS>1 alone (a plain `python` inside an sbatch
+        allocation, NOT one of N srun-launched tasks) must not initialize —
+        it would wait forever for peers that don't exist."""
+        monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+        monkeypatch.delenv("SLURM_PROCID", raising=False)
+        monkeypatch.setenv("SLURM_NTASKS", "2")
+        calls = []
+        monkeypatch.setattr(
+            jax.distributed, "initialize", lambda *a, **k: calls.append(1)
+        )
+        mesh_lib.maybe_initialize_distributed()
+        assert calls == []
 
     def test_single_task_slurm_is_noop(self, monkeypatch):
         monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)

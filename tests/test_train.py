@@ -292,3 +292,17 @@ def test_async_checkpoint_roundtrip(tiny_setup, tmp_path):
     )
     base = os.path.join(str(tmp_path), "checkpoints")
     assert set(os.listdir(base)) >= {"epoch_1", "latest", "best"}
+    # async aliases are atomic symlinks to the one written epoch dir
+    # (queuing three full copies would block on each other's commit)
+    assert os.path.islink(os.path.join(base, "latest"))
+    assert os.readlink(os.path.join(base, "latest")) == "epoch_1"
+    # restore through the `best` alias too
+    _, epoch_b, _ = restore_checkpoint(str(tmp_path), state, which="best")
+    assert epoch_b == 1
+    # a later SYNC save must replace the symlink with a real dir without
+    # clobbering the epoch dir it pointed at
+    save_checkpoint(str(tmp_path), state, epoch=2, best_metric=0.7)
+    assert not os.path.islink(os.path.join(base, "latest"))
+    _, epoch2, _ = restore_checkpoint(str(tmp_path), state)
+    assert epoch2 == 2
+    assert os.path.isdir(os.path.join(base, "epoch_1"))  # still intact

@@ -192,6 +192,10 @@ def main(argv=None):
     results = {}
     if seen:
         drain()  # complete the device queue before stopping the clock
+    # Stop the throughput clock BEFORE the cross-process reduction: the
+    # allgather below waits on the slowest rank and would deflate
+    # images_per_sec by the synchronization skew.
+    t_end = time.perf_counter()
     if jax.process_count() > 1:
         # Multi-process eval (dist_test.sh): each process scored only its
         # rank-strided shard of the val set — sum the tiny accumulators
@@ -212,7 +216,7 @@ def main(argv=None):
         d_sums = None if d_sums is None else jax.tree.map(global_sum, d_sums)
         d_count = global_sum(d_count)
     if seen > seen_at_t0:
-        dt = time.perf_counter() - t0
+        dt = t_end - t0
         results["images_per_sec"] = (
             (seen - seen_at_t0) / dt if dt > 0 else float("inf")
         )
