@@ -14,11 +14,16 @@ import os
 # we also force the platform through jax.config below (safe as long as no
 # computation has run yet).
 os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# REPLACE any inherited device-count flag (a leftover =4 from a debugging
+# shell would otherwise survive the 'not in' guard and abort the suite's
+# 8-device assert at collection).
+flags = [
+    f
+    for f in os.environ.get("XLA_FLAGS", "").split()
+    if not f.startswith("--xla_force_host_platform_device_count")
+]
+flags.append("--xla_force_host_platform_device_count=8")
+os.environ["XLA_FLAGS"] = " ".join(flags)
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 # Persistent compile cache makes repeat test runs fast.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_compile_cache")

@@ -80,14 +80,6 @@ def test_dot_access_and_get():
     assert cfg.get("a").get("b").c == 3
 
 
-def test_builtin_presets_load():
-    from denseclip_vit_multimodal_tpu.core.config import builtin_config_dir
-
-    for preset in builtin_config_dir().glob("*.yaml"):
-        cfg = load_config(preset)
-        assert "model" in cfg, preset
-
-
 def test_resolve_test_protocol_defaults_and_overrides():
     from denseclip_vit_multimodal_tpu.core.config import (
         load_config,

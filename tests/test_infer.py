@@ -351,12 +351,9 @@ def test_eval_metrics_device_reduction_matches_host(tiny_inferencer):
 
 
 def test_graft_entry_dryrun_multichip():
-    import importlib.util, os
+    # plain import: a spec-loaded second module instance would diverge from
+    # the copy other tests import (monkeypatches on one never reach the
+    # other)
+    import __graft_entry__ as graft
 
-    spec = importlib.util.spec_from_file_location(
-        "__graft_entry__",
-        os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"),
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    mod.dryrun_multichip(8)
+    graft.dryrun_multichip(8)

@@ -65,9 +65,11 @@ def test_kernel_custom_vjp():
     )
 
 
-def test_kernel_bf16_exp_path_close():
-    """bf16 inputs take the packed-bf16 exp pass; output must stay within
-    bf16-level tolerance of the fp32 reference."""
+def test_kernel_bf16_inputs_close():
+    """bf16 q/k/v through the kernel stay within bf16-level tolerance of
+    the fp32 reference.  (The DENSECLIP_EXP_BF16 experiment branch is env-
+    gated, read at import, and defaults OFF — it is a documented negative
+    result and is NOT covered here.)"""
     rng = jax.random.PRNGKey(7)
     kq, kk, kv = jax.random.split(rng, 3)
     shape = (2, 256, 3, 64)
@@ -86,7 +88,7 @@ def test_kernel_bf16_exp_path_close():
     )
 
 
-def test_qkv_kernel_bf16_exp_path_close():
+def test_qkv_kernel_bf16_inputs_close():
     from denseclip_vit_multimodal_tpu.ops.mha_kernel import (
         _qkv_ref,
         mha_qkv_attention,
@@ -157,7 +159,6 @@ def test_qkv_kernel_backward_valid_len_masking():
 
 def test_bhnd_kernel_backward_bf16_close():
     q = jax.random.normal(jax.random.PRNGKey(17), (1, 256, 4, 64), jnp.float32)
-    loss = lambda f: (lambda x: jnp.sum(f(x) ** 2))
     g16 = jax.grad(
         lambda x: jnp.sum(
             mha_attention(

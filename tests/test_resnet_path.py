@@ -82,20 +82,6 @@ def test_rn_plain_backbone():
     ]
 
 
-def test_all_preset_configs_load():
-    import glob
-    import os
-
-    presets = glob.glob(
-        os.path.join(os.path.dirname(__file__), "..", "configs", "*.yaml")
-    )
-    assert len(presets) >= 6
-    for path in presets:
-        cfg = load_config(path)
-        assert "model" in cfg and "backbone" in cfg["model"], path
-        assert "training" in cfg, path
-
-
 def test_rn_train_step_with_lr_mults(tiny_rn_cfg):
     """Heritage recipe: RN backbone trains with backbone lr x0.1 + frozen text
     (configs/denseclip_fpn_vit-b_640x640_80k.py:53-63 semantics)."""

@@ -199,11 +199,14 @@ def test_grad_accum_matches_full_batch(tiny_model_cfg):
 def test_eval_step_metrics(tiny_setup):
     _, texts, state = tiny_setup
     eval_step = make_eval_step(texts, AUG, num_classes=19)
-    batch = jax.tree.map(jnp.asarray, _raw_batch(b=2))
+    raw = _raw_batch(b=2)
+    raw["seg"][:, :8] = 255  # an ignore region the confusion MUST exclude
+    batch = jax.tree.map(jnp.asarray, raw)
     res = eval_step(state, batch)
     cm = np.asarray(res["confusion"])
     assert cm.shape == (19, 19)
     valid_px = (np.asarray(batch["seg"]) != 255).sum()
+    assert valid_px < np.asarray(batch["seg"]).size  # ignore path exercised
     np.testing.assert_allclose(cm.sum(), valid_px, rtol=1e-6)
     assert float(res["depth_count"]) > 0
     assert np.isfinite(float(res["loss_seg"]))
@@ -245,27 +248,59 @@ def test_checkpoint_roundtrip(tiny_setup, tmp_path):
     assert set(os.listdir(base)) >= {"epoch_3", "latest", "best"}
 
 
+def test_poisoned_depth_batch_is_masked_not_skipped(tiny_setup):
+    """Bad DATA never reaches the loss: inf/NaN depth pixels die in the
+    resample + validity mask (depth > 0 is False for NaN), so the step
+    stays finite and is NOT skipped — the data plane's failure handling."""
+    _, texts, state = tiny_setup
+    step = make_train_step(texts, AUG)
+    bad = dict(_raw_batch())
+    bad["depth"] = np.full_like(bad["depth"], np.inf)
+    _, metrics = step(_clone(state), jax.tree.map(jnp.asarray, bad),
+                      jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss_total"]))
+    assert float(metrics["skipped"]) == 0.0
+
+
 def test_nan_batch_skips_update(tiny_setup):
+    """A non-finite loss (here: a NaN-poisoned trainable param, the way a
+    real numerical blowup presents) must skip the update: params,
+    opt_state AND batch_stats keep their pre-step values while the step
+    counter advances (reference NaN-skip, train_denseclip.py:1323-1324)."""
     _, texts, state = tiny_setup
     step = make_train_step(texts, AUG)
     batch = _raw_batch()
-    bad = dict(batch)
-    bad["depth"] = np.full_like(batch["depth"], np.inf)
-    before = np.asarray(state.params["contexts"])
-    stats_before = jax.tree.map(np.asarray, state.batch_stats)
-    new_state, metrics = step(_clone(state), jax.tree.map(jnp.asarray, bad),
+    bad_state = _clone(state)
+    # poison a param that FEEDS the loss (the score map — and thus
+    # `contexts` — is computed but unconsumed at score_concat_index=-1,
+    # the reference ViT config's own quirk)
+    bad_state = bad_state.replace(params={
+        **bad_state.params,
+        "decode_head": jax.tree.map(
+            lambda x: jnp.full_like(x, jnp.nan),
+            bad_state.params["decode_head"],
+        ),
+    })
+    before = np.asarray(bad_state.params["contexts"])
+    stats_before = jax.tree.map(np.asarray, bad_state.batch_stats)
+    new_state, metrics = step(bad_state, jax.tree.map(jnp.asarray, batch),
                               jax.random.PRNGKey(0))
-    if not np.isfinite(float(metrics["loss_total"])):
-        assert float(metrics["skipped"]) == 1.0
-        np.testing.assert_array_equal(
-            np.asarray(new_state.params["contexts"]), before
-        )
-        # the skipped step must not poison BN running statistics either
-        jax.tree.map(
-            lambda old, new: np.testing.assert_array_equal(old, np.asarray(new)),
-            stats_before, new_state.batch_stats,
-        )
-        assert int(new_state.step) == 1  # counter still advances
+    # precondition asserted UNCONDITIONALLY — an earlier version poisoned
+    # the depth batch, which the validity mask absorbs, and the whole test
+    # passed vacuously behind an `if not isfinite` guard
+    assert not np.isfinite(float(metrics["loss_total"])), (
+        "expected NaN params to produce a non-finite loss"
+    )
+    assert float(metrics["skipped"]) == 1.0
+    np.testing.assert_array_equal(
+        np.asarray(new_state.params["contexts"]), before
+    )
+    # the skipped step must not poison BN running statistics either
+    jax.tree.map(
+        lambda old, new: np.testing.assert_array_equal(old, np.asarray(new)),
+        stats_before, new_state.batch_stats,
+    )
+    assert int(new_state.step) == 1  # counter still advances
 
 
 def test_async_checkpoint_roundtrip(tiny_setup, tmp_path):
