@@ -134,6 +134,23 @@ def test_rn101_preset_matches_reference_topology():
     assert model.score_concat_index == 3
 
 
+def test_rn50_preset_matches_reference_topology():
+    """configs/denseclip_fpn_res50_512x512_80k.py parity: the RN50 preset
+    differs from RN101 only in layer counts and the 1024-wide CLIP embed
+    (reference output_dim/embed_dim/visual_dim all 1024)."""
+    cfg = load_config(builtin_config_dir() / "denseclip_rn50_512x512_80k.yaml")
+    bb = cfg.model.backbone
+    assert list(bb.layers) == [3, 4, 6, 3]
+    assert int(bb.output_dim) == 1024
+    assert int(cfg.model.text_dim) == 1024
+    assert int(cfg.model.text_encoder.embed_dim) == 1024
+    assert int(cfg.model.score_concat_index) == 3
+    assert int(cfg.model.decode_head.num_classes) == 150
+    assert int(cfg.training.iters) == 80000
+    model, _ = build_denseclip(cfg.model, ADE_CLASSES)
+    assert model.num_classes == 150
+
+
 class TestFrozenModulesFromCfg:
     def test_default_towers_frozen(self):
         from denseclip_vit_multimodal_tpu.train.state import (
