@@ -528,6 +528,71 @@ class Transformer(nn.Module):
                 )(carry, rate, deterministic, valid_len)
                 return y, y
 
+        # Opt-in pipeline parallelism: when a `pipe` mesh axis is active
+        # (parallel/pipeline.py) and the shapes divide, run the SAME scanned
+        # params as a GPipe pipeline — stages hold L/S contiguous blocks,
+        # activations hop stages via ppermute.  Gated to the non-causal
+        # (vision) stack: the text towers are tiny and their batch is the
+        # class count, which need not divide the microbatch count.
+        if not self.is_initializing() and not causal:
+            from denseclip_vit_multimodal_tpu.parallel.pipeline import (
+                current_pipeline,
+                pipeline_blocks,
+            )
+
+            pctx = current_pipeline()
+            if (
+                pctx is not None
+                and self.layers % pctx.stages == 0
+                and x.shape[0] % (pctx.microbatches or pctx.stages) == 0
+                and self.has_variable("params", "blocks")
+            ):
+                stacked = self.get_variable("params", "blocks")["block"]
+                block = ResidualAttentionBlock(
+                    num_heads=num_heads,
+                    causal=causal,
+                    attn_impl=attn_impl,
+                    dtype=dtype,
+                )
+                keys = None
+                if not deterministic and self.has_rng("dropout"):
+                    # Per-layer dropout keys ride the pipeline as scanned
+                    # inputs (stream differs from nn.scan's split — both are
+                    # valid iid draws; equivalence tests run deterministic).
+                    keys = jax.random.split(
+                        self.make_rng("dropout"), self.layers
+                    )
+
+                def block_apply(p, h, aux):
+                    rate = aux[0] if keys is not None else aux
+                    rngs = {"dropout": aux[1]} if keys is not None else None
+
+                    def fn(pp, hh):
+                        return block.apply(
+                            {"params": pp},
+                            hh,
+                            rate,
+                            deterministic,
+                            valid_len,
+                            rngs=rngs,
+                        )
+
+                    if remat:
+                        fn = jax.checkpoint(fn)
+                    return fn(p, h)
+
+                aux = rates if keys is None else (rates, keys)
+                taps = pipeline_blocks(
+                    block_apply,
+                    stacked,
+                    x,
+                    aux,
+                    pctx.mesh,
+                    axis=pctx.axis,
+                    microbatches=pctx.microbatches,
+                )
+                return taps[-1], taps
+
         # Unrolling lets XLA software-pipeline HBM traffic across layer
         # boundaries at the cost of compile time; env-gated for measurement.
         unroll = int(os.environ.get("DENSECLIP_SCAN_UNROLL", "1"))
