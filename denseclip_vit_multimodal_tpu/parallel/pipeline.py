@@ -225,3 +225,16 @@ def pipeline_from_config(tpu_cfg: Any, mesh: Mesh):
         return contextlib.nullcontext()
     micro = pipe_cfg.get("microbatches") if hasattr(pipe_cfg, "get") else None
     return activate_pipeline(mesh, PIPE_AXIS, micro)
+
+
+def enable_pipeline_from_config(tpu_cfg: Any, mesh: Mesh) -> bool:
+    """Sticky (process-lifetime) variant of `pipeline_from_config` for the
+    training/eval entry points: the context must be live whenever a jitted
+    step TRACES, which for a training run is simply "always".  Returns True
+    when a pipeline was activated."""
+    pipe_cfg = tpu_cfg.get("pipeline") if tpu_cfg else None
+    if pipe_cfg is None or PIPE_AXIS not in mesh.axis_names:
+        return False
+    micro = pipe_cfg.get("microbatches") if hasattr(pipe_cfg, "get") else None
+    _ACTIVE.set(PipelineContext(mesh, PIPE_AXIS, micro))
+    return current_pipeline() is not None

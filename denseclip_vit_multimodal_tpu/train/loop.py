@@ -285,6 +285,15 @@ def train(cfg, work_dir: str, resume: Optional[str] = None,
         mesh.devices.size,
         jax.devices()[0].platform,
     )
+    from denseclip_vit_multimodal_tpu.parallel.pipeline import (
+        enable_pipeline_from_config,
+    )
+
+    if enable_pipeline_from_config(tpu_cfg, mesh):
+        logger.info(
+            "pipeline parallelism: %d stages over the pipe axis",
+            mesh.shape["pipe"],
+        )
 
     # --- data ---
     train_ds = build_dataset(data_cfg, "train")

@@ -208,6 +208,69 @@ def test_causal_stack_never_pipelines():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
 
 
+# ---------------------------------------------------------- train-step
+
+
+def test_pp_train_step_matches_dp(tiny_model_cfg):
+    """A dp x pp (and dp x tp x pp) train step must produce the same loss
+    and updates as pure dp — the pipeline is a layout change, not a math
+    change."""
+    from denseclip_vit_multimodal_tpu.data.augment import AugmentConfig
+    from denseclip_vit_multimodal_tpu.models.denseclip import (
+        CITYSCAPES_CLASSES,
+        build_denseclip,
+    )
+    from denseclip_vit_multimodal_tpu.parallel.mesh import shard_batch
+    from denseclip_vit_multimodal_tpu.parallel.sharding_rules import (
+        shard_train_state,
+    )
+    from denseclip_vit_multimodal_tpu.train.state import create_train_state
+    from denseclip_vit_multimodal_tpu.train.step import make_train_step
+    from jax.sharding import NamedSharding, PartitionSpec as SP
+
+    model, texts = build_denseclip(tiny_model_cfg, CITYSCAPES_CLASSES)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 64, 3)), jnp.asarray(texts)
+    )
+    tcfg = {"epochs": 2, "optimizer": {"lr": 1e-3},
+            "scheduler": {"type": "constant"}}
+    aug = AugmentConfig(crop_size=(32, 64), scale_range=(1.0, 1.0), hflip_prob=0.0)
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": rng.randint(0, 255, (8, 64, 128, 3)).astype(np.uint8),
+        "seg": rng.randint(0, 19, (8, 64, 128)).astype(np.uint8),
+        "depth": rng.uniform(0.1, 80, (8, 64, 128)).astype(np.float32),
+    }
+
+    def run(mesh, pipelined):
+        fresh = jax.tree.map(jnp.array, variables)
+        state = create_train_state(model, fresh, tcfg, steps_per_epoch=2)
+        if "model" in mesh.axis_names:
+            state = shard_train_state(state, mesh)
+        else:
+            state = jax.device_put(state, NamedSharding(mesh, SP()))
+        step = make_train_step(texts, aug)
+        sharded = shard_batch(batch, mesh)
+        if pipelined:
+            with activate_pipeline(mesh):
+                new_state, metrics = step(state, sharded, jax.random.PRNGKey(0))
+        else:
+            new_state, metrics = step(state, sharded, jax.random.PRNGKey(0))
+        return float(metrics["loss_total"]), np.asarray(
+            new_state.params["contexts"]
+        )
+
+    loss_dp, ctx_dp = run(make_mesh({"data": 8}), pipelined=False)
+    loss_pp, ctx_pp = run(make_mesh({"data": 4, "pipe": 2}), pipelined=True)
+    np.testing.assert_allclose(loss_dp, loss_pp, rtol=1e-4)
+    np.testing.assert_allclose(ctx_dp, ctx_pp, rtol=1e-3, atol=1e-6)
+    loss_3d, ctx_3d = run(
+        make_mesh({"data": 2, "model": 2, "pipe": 2}), pipelined=True
+    )
+    np.testing.assert_allclose(loss_dp, loss_3d, rtol=1e-4)
+    np.testing.assert_allclose(ctx_dp, ctx_3d, rtol=1e-3, atol=1e-6)
+
+
 # ------------------------------------------------------------ model-level
 
 
