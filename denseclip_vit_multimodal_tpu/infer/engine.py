@@ -207,10 +207,20 @@ class Inferencer:
             or cached[0] is not variables
             or cached[1] is not texts
         ):
+            to_place = (variables, texts)
+            if jax.process_count() > 1:
+                # Committed single-device arrays (checkpoint restores, jitted
+                # preprocess outputs) can't be device_put onto a sharding
+                # spanning non-addressable devices — route through host
+                # memory, same as parallel/mesh.py::replicate.
+                to_place = jax.tree.map(
+                    lambda x: np.asarray(x) if isinstance(x, jax.Array) else x,
+                    to_place,
+                )
             cached = (
                 variables,
                 texts,
-                jax.device_put((variables, texts), replicated),
+                jax.device_put(to_place, replicated),
             )
             self._jit_cache[key] = cached
         variables, texts = cached[2]

@@ -557,15 +557,19 @@ class Transformer(nn.Module):
                 keys = None
                 if not deterministic and self.has_rng("dropout"):
                     # Per-layer dropout keys ride the pipeline as scanned
-                    # inputs (stream differs from nn.scan's split — both are
-                    # valid iid draws; equivalence tests run deterministic).
+                    # inputs; the microbatch index is folded in per tick so
+                    # masks differ across microbatches (stream differs from
+                    # nn.scan's split — both are valid iid draws;
+                    # equivalence tests run deterministic).
                     keys = jax.random.split(
                         self.make_rng("dropout"), self.layers
                     )
 
-                def block_apply(p, h, aux):
+                def block_apply(p, h, aux, mb_idx):
                     rate = aux[0] if keys is not None else aux
-                    rngs = {"dropout": aux[1]} if keys is not None else None
+                    rngs = None
+                    if keys is not None:
+                        rngs = {"dropout": jax.random.fold_in(aux[1], mb_idx)}
 
                     def fn(pp, hh):
                         return block.apply(

@@ -62,15 +62,17 @@ def maybe_initialize_distributed() -> None:
         # this check a 2-node Slurm/OMPI launch would silently train as two
         # independent single-process jobs (auto-detection only happens
         # INSIDE jax.distributed.initialize, so someone must call it).
-        # Require a PER-TASK marker, not just allocation-level vars: a
+        # Require a PER-STEP marker, not just allocation-level vars: a
         # plain `python tools/...` inside an sbatch allocation created
         # with --ntasks=2 sees SLURM_NTASKS=2 but is a single process —
-        # initializing there would wait forever for peers.  SLURM_PROCID /
-        # OMPI_COMM_WORLD_RANK only exist for processes srun/mpirun
-        # actually launched as one of N tasks.
+        # initializing there would wait forever for peers.  SLURM_PROCID
+        # alone is NOT enough (Slurm also sets PROCID=0 in the batch
+        # step's own environment); SLURM_STEP_NUM_TASKS reflects the
+        # CURRENT step, so it is >1 only for processes srun actually
+        # launched as one of N tasks.
         managed = (
             (
-                int(os.environ.get("SLURM_NTASKS", "1")) > 1
+                int(os.environ.get("SLURM_STEP_NUM_TASKS", "1")) > 1
                 and os.environ.get("SLURM_PROCID") is not None
             )
             or (
@@ -132,8 +134,15 @@ def make_mesh(
             from jax.experimental import mesh_utils
 
             return Mesh(mesh_utils.create_device_mesh(sizes), axis_names)
-        except Exception:
-            pass  # e.g. host-platform device sets; fall through to reshape
+        except Exception as e:
+            # e.g. host-platform (virtual CPU) device sets have no topology;
+            # fall through to reshape ordering — but say so, because on a
+            # real pod a silent fallback costs ICI locality.
+            import logging
+
+            logging.getLogger("denseclip_tpu").info(
+                "topology-aware mesh unavailable (%s); using reshape order", e
+            )
     grid = np.asarray(devices).reshape(sizes)
     return Mesh(grid, axis_names)
 

@@ -110,9 +110,11 @@ def pipeline_blocks(
     """Apply a stacked block chain as a GPipe pipeline; returns all taps.
 
     Args:
-      block_apply: ``(params_l, h, aux_l) -> h'`` — ONE block on one
-        microbatch.  ``params_l`` / ``aux_l`` are layer-``l`` slices of
-        ``stacked_params`` / ``per_layer``.
+      block_apply: ``(params_l, h, aux_l, microbatch_idx) -> h'`` — ONE
+        block on one microbatch.  ``params_l`` / ``aux_l`` are layer-``l``
+        slices of ``stacked_params`` / ``per_layer``; ``microbatch_idx`` is
+        the traced index of the microbatch being processed (fold it into
+        any rng keys so stochastic masks differ across microbatches).
       stacked_params: pytree whose leaves lead with the layer axis ``[L, ...]``
         (the `nn.scan` layout).
       x: the full batch ``[B, ...]``; split into microbatches internally.
@@ -151,10 +153,10 @@ def pipeline_blocks(
         aux_local = jax.tree.map(lambda a: a[0], aux_local)
         stage_idx = jax.lax.axis_index(axis)
 
-        def stage(h):
+        def stage(h, mb_idx):
             def body(carry, inp):
                 p_l, a_l = inp
-                y = block_apply(p_l, carry, a_l)
+                y = block_apply(p_l, carry, a_l, mb_idx)
                 return y, y
 
             _, taps = jax.lax.scan(body, h, (params_local, aux_local))
@@ -175,11 +177,11 @@ def pipeline_blocks(
             )
             inject = jax.lax.pcast(inject, (axis,), to='varying')
             state = jnp.where(stage_idx == 0, inject, state)
-            taps = stage(state)  # [L/S, b, ...]
-            # This stage just finished microbatch t - s (if in range).
+            # This stage is processing microbatch t - s (if in range).
             mb = t - stage_idx
             valid = (mb >= 0) & (mb < m)
             mb_c = jnp.clip(mb, 0, m - 1)
+            taps = stage(state, mb_c)  # [L/S, b, ...]
             updated = jax.lax.dynamic_update_index_in_dim(
                 taps_buf, taps.astype(taps_buf.dtype), mb_c, axis=1
             )
@@ -210,9 +212,9 @@ def pipeline_blocks(
     return shard(params_staged, aux_staged, x_mb)
 
 
-def pipeline_from_config(tpu_cfg: Any, mesh: Mesh):
-    """`activate_pipeline` context from the `tpu:` config section, or a
-    no-op when `tpu.pipeline` is absent / the mesh has no pipe axis.
+def _context_from_config(tpu_cfg: Any, mesh: Mesh) -> Optional[PipelineContext]:
+    """PipelineContext from the `tpu:` config section, or None when
+    `tpu.pipeline` is absent / the mesh has no pipe axis.
 
     Config schema::
 
@@ -222,19 +224,26 @@ def pipeline_from_config(tpu_cfg: Any, mesh: Mesh):
     """
     pipe_cfg = tpu_cfg.get("pipeline") if tpu_cfg else None
     if pipe_cfg is None or PIPE_AXIS not in mesh.axis_names:
-        return contextlib.nullcontext()
+        return None
     micro = pipe_cfg.get("microbatches") if hasattr(pipe_cfg, "get") else None
-    return activate_pipeline(mesh, PIPE_AXIS, micro)
+    return PipelineContext(mesh, PIPE_AXIS, micro)
+
+
+def pipeline_from_config(tpu_cfg: Any, mesh: Mesh):
+    """`activate_pipeline` context manager from the config (no-op context
+    when the config requests no pipeline)."""
+    ctx = _context_from_config(tpu_cfg, mesh)
+    if ctx is None:
+        return contextlib.nullcontext()
+    return activate_pipeline(ctx.mesh, ctx.axis, ctx.microbatches)
 
 
 def enable_pipeline_from_config(tpu_cfg: Any, mesh: Mesh) -> bool:
     """Sticky (process-lifetime) variant of `pipeline_from_config` for the
     training/eval entry points: the context must be live whenever a jitted
     step TRACES, which for a training run is simply "always".  Returns True
-    when a pipeline was activated."""
-    pipe_cfg = tpu_cfg.get("pipeline") if tpu_cfg else None
-    if pipe_cfg is None or PIPE_AXIS not in mesh.axis_names:
-        return False
-    micro = pipe_cfg.get("microbatches") if hasattr(pipe_cfg, "get") else None
-    _ACTIVE.set(PipelineContext(mesh, PIPE_AXIS, micro))
+    when a pipeline was activated.  Calling again REBINDS: a new config/mesh
+    replaces the context, and a config without `tpu.pipeline` clears it (no
+    stale mesh survives a rebuild in the same process)."""
+    _ACTIVE.set(_context_from_config(tpu_cfg, mesh))
     return current_pipeline() is not None

@@ -112,6 +112,15 @@ def save_checkpoint(
     }
     path = os.path.join(base, f"epoch_{epoch}")
     aliases = ["latest"] + (["best"] if is_best else [])
+    # Epoch dirs an alias pointed at BEFORE this save must survive this
+    # call's prune: in async mode the new epoch dir isn't committed yet when
+    # the symlink is repointed, so pruning the previous `best` target here
+    # would leave a crash window with no valid best checkpoint at all.
+    prev_targets = set()
+    for name in aliases:
+        link = os.path.join(base, name)
+        if os.path.islink(link):
+            prev_targets.add(os.path.basename(os.readlink(link)))
     if async_save:
         _async_saver().save(
             path, args=ocp.args.StandardSave(payload), force=True
@@ -126,8 +135,14 @@ def save_checkpoint(
                 t = os.path.join(base, name)
                 if os.path.islink(t):
                     # leftover async alias: force-saving THROUGH a symlink
-                    # would clobber the epoch dir it points at
-                    os.unlink(t)
+                    # would clobber the epoch dir it points at.  EVERY
+                    # process runs this loop (the orbax save below is
+                    # collective), so the unlink can race on shared storage
+                    # — losing the race is fine.
+                    try:
+                        os.unlink(t)
+                    except FileNotFoundError:
+                        pass
                 saver.save(t, payload, force=True)
     # Rolling window of epoch_N dirs (latest/best never pruned).
     if jax.process_index() != 0:
@@ -140,8 +155,10 @@ def save_checkpoint(
         ),
     )
     # epoch dirs an alias symlink still points at must survive the window
-    # (async mode's `best` can reference an arbitrarily old epoch)
-    pinned = set()
+    # (async mode's `best` can reference an arbitrarily old epoch), and so
+    # must the dirs the aliases pointed at before this save (prev_targets)
+    # while the new dir's async commit may still be in flight
+    pinned = set(prev_targets)
     for name in ("latest", "best"):
         link = os.path.join(base, name)
         if os.path.islink(link):

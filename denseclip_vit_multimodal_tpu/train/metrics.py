@@ -30,14 +30,18 @@ def confusion_matrix(
     num_classes: int,
     ignore_index: int = 255,
 ) -> jnp.ndarray:
-    """Returns [num_classes, num_classes] float32 counts (rows=target).
+    """Returns [num_classes, num_classes] int32 counts (rows=target).
 
     One-hots come from a broadcast COMPARE, not `eye[idx]` — indexed-gather
     one-hot construction is the same serialized minor-axis gather the CE
     loss fix removed (docs/PERFORMANCE.md "the gather trap"); at 1024x2048
     eval shapes the eye-gather version cost ~10 ms/frame.  bf16 one-hot
-    operands (0/1 exact) halve the HBM traffic; the fp32 accumulator keeps
-    counts exact (< 2^24 per batch-tile).
+    operands (0/1 exact) halve the HBM traffic.  The MXU accumulates in
+    fp32, which is exact only below 2^24 per cell, so the pixel axis is
+    chunked at 2^24 and partial counts accumulate in int32 — exact for any
+    batch size, and cross-batch `+` accumulation stays exact to 2^31 per
+    cell (~2e9 pixels of one class; a full Cityscapes val pass is ~1e9
+    total).
     """
     valid = labels != ignore_index
     t = jnp.where(valid, labels, 0).reshape(-1)
@@ -47,14 +51,23 @@ def confusion_matrix(
         (t[:, None] == classes[None, :]) & valid.reshape(-1)[:, None]
     ).astype(jnp.bfloat16)
     p_onehot = (p[:, None] == classes[None, :]).astype(jnp.bfloat16)
-    return jax.lax.dot_general(
-        t_onehot, p_onehot, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    total = t_onehot.shape[0]
+    chunk = 1 << 24
+    out = jnp.zeros((num_classes, num_classes), jnp.int32)
+    for start in range(0, total, chunk):
+        part = jax.lax.dot_general(
+            t_onehot[start : start + chunk],
+            p_onehot[start : start + chunk],
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        out = out + part.astype(jnp.int32)
+    return out
 
 
 def miou_from_confusion(cm: jnp.ndarray, eps: float = 1e-8) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(mean IoU over classes present in GT or pred, per-class IoU)."""
+    cm = cm.astype(jnp.float32)  # counts may be int32; ratios need floats
     intersection = jnp.diag(cm)
     union = cm.sum(0) + cm.sum(1) - intersection
     iou = intersection / (union + eps)
@@ -66,6 +79,7 @@ def miou_from_confusion(cm: jnp.ndarray, eps: float = 1e-8) -> Tuple[jnp.ndarray
 
 
 def accuracy_from_confusion(cm: jnp.ndarray) -> jnp.ndarray:
+    cm = cm.astype(jnp.float32)  # int32 cm: .sum() over cells could overflow
     return jnp.trace(cm) / jnp.maximum(cm.sum(), 1.0)
 
 

@@ -119,8 +119,8 @@ class TestMaybeInitializeDistributed:
         cluster auto-detection), or two nodes silently train as independent
         single-process jobs."""
         monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
-        monkeypatch.setenv("SLURM_NTASKS", "2")
-        monkeypatch.setenv("SLURM_PROCID", "0")  # srun-launched task marker
+        monkeypatch.setenv("SLURM_STEP_NUM_TASKS", "2")  # srun step marker
+        monkeypatch.setenv("SLURM_PROCID", "0")
         calls = []
         monkeypatch.setattr(
             jax.distributed, "initialize",
@@ -132,9 +132,12 @@ class TestMaybeInitializeDistributed:
     def test_allocation_without_task_rank_is_noop(self, monkeypatch):
         """SLURM_NTASKS>1 alone (a plain `python` inside an sbatch
         allocation, NOT one of N srun-launched tasks) must not initialize —
-        it would wait forever for peers that don't exist."""
+        it would wait forever for peers that don't exist.  The batch step
+        itself carries SLURM_PROCID=0 and SLURM_STEP_NUM_TASKS=1, so the
+        guard must key on the per-step task count."""
         monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
-        monkeypatch.delenv("SLURM_PROCID", raising=False)
+        monkeypatch.setenv("SLURM_PROCID", "0")  # batch step sets this too
+        monkeypatch.setenv("SLURM_STEP_NUM_TASKS", "1")
         monkeypatch.setenv("SLURM_NTASKS", "2")
         calls = []
         monkeypatch.setattr(
@@ -146,6 +149,7 @@ class TestMaybeInitializeDistributed:
     def test_single_task_slurm_is_noop(self, monkeypatch):
         monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
         monkeypatch.setenv("SLURM_NTASKS", "1")
+        monkeypatch.delenv("SLURM_STEP_NUM_TASKS", raising=False)
         calls = []
         monkeypatch.setattr(
             jax.distributed, "initialize", lambda *a, **k: calls.append(1)

@@ -34,7 +34,7 @@ def _toy():
     x = jnp.asarray(rng.randn(B, N, D), jnp.float32)
     rates = jnp.linspace(0.0, 0.5, L)
 
-    def block_apply(p, h, aux):
+    def block_apply(p, h, aux, mb_idx=0):
         w, b = p
         return jnp.tanh(h @ w + b + aux)
 
@@ -129,14 +129,56 @@ def test_pipeline_from_config():
         assert current_pipeline() is None  # mesh has no pipe axis
 
 
+def test_enable_pipeline_rebinds_and_clears():
+    from denseclip_vit_multimodal_tpu.parallel.pipeline import (
+        enable_pipeline_from_config,
+    )
+
+    mesh = make_mesh({"pipe": 2, "data": 4})
+    assert enable_pipeline_from_config({"pipeline": {}}, mesh)
+    assert current_pipeline().stages == 2
+    mesh2 = make_mesh({"pipe": 4, "data": 2})
+    assert enable_pipeline_from_config({"pipeline": {"microbatches": 8}}, mesh2)
+    ctx = current_pipeline()
+    assert ctx.stages == 4 and ctx.microbatches == 8  # rebound, not stale
+    assert not enable_pipeline_from_config({}, mesh)  # clears
+    assert current_pipeline() is None
+
+
+def test_pipeline_dropout_masks_differ_across_microbatches():
+    """Identical samples routed through different microbatches must get
+    different stochastic-depth draws (the per-layer key is folded with the
+    microbatch index) — otherwise regularization is systematically
+    correlated across the batch."""
+    tf = _transformer(layers=4, drop_path_rate=0.9)
+    one = jax.random.normal(jax.random.PRNGKey(7), (1, 10, 32), jnp.float32)
+    x = jnp.concatenate([one, one, one, one], axis=0)  # 4 identical samples
+    variables = tf.init(jax.random.PRNGKey(0), x)
+    mesh = make_mesh({"pipe": 2, "data": 4})
+    with activate_pipeline(mesh, microbatches=4):  # 1 sample per microbatch
+        out, _ = jax.jit(
+            lambda v, xx: tf.apply(
+                v, xx, deterministic=False, rngs={"dropout": jax.random.PRNGKey(3)}
+            )
+        )(variables, x)
+    out = np.asarray(out)
+    deltas = [
+        float(np.abs(out[i] - out[j]).max())
+        for i in range(4)
+        for j in range(i + 1, 4)
+    ]
+    assert max(deltas) > 0.0, "all microbatches drew identical drop masks"
+
+
 # ------------------------------------------------------- transformer parity
 
 
-def _transformer(layers=4, causal=False):
+def _transformer(layers=4, causal=False, drop_path_rate=0.0):
     from denseclip_vit_multimodal_tpu.models.layers import Transformer
 
     return Transformer(
-        width=32, layers=layers, heads=4, causal=causal, attn_impl="xla"
+        width=32, layers=layers, heads=4, causal=causal, attn_impl="xla",
+        drop_path_rate=drop_path_rate,
     )
 
 
