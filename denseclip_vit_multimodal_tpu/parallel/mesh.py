@@ -156,13 +156,28 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
+def shard_batch(
+    batch: Any,
+    mesh: Mesh,
+    axis: str = DATA_AXIS,
+    *,
+    process_local: bool = True,
+) -> Any:
     """Put a host-local pytree of [B, ...] arrays onto the mesh, batch-sharded.
 
     Single-process: a plain sharded device_put.  Multi-process: each process
     contributes its local shard of the global batch
     (`make_array_from_process_local_data`), the JAX-native replacement for
     the reference's `DistributedSampler` (train_denseclip.py:242-243).
+
+    `process_local=True` (the loader contract) assumes each process's
+    devices own a contiguous, disjoint 1/num_processes slice of the data
+    axis — true when `data` is the mesh's LEADING axis (the device order is
+    process-major).  For layouts where another axis leads and each
+    process's devices replicate the whole batch (e.g. a cross-process
+    `{pipe: S, data: N}` pipeline), pass `process_local=False` and give
+    EVERY process the full global batch; each process then contributes the
+    shards its devices address.
     """
     sharding = batch_sharding(mesh, axis)
     if jax.process_count() == 1:
@@ -170,7 +185,10 @@ def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
 
     def put(x):
         x = np.asarray(x)
-        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        if process_local:
+            global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        else:
+            global_shape = x.shape
         return jax.make_array_from_process_local_data(sharding, x, global_shape)
 
     return jax.tree.map(put, batch)

@@ -188,6 +188,17 @@ def restore_checkpoint(
     """
     path = os.path.abspath(path_or_work_dir)
     candidate = os.path.join(_ckpt_dir(path), which)
+    if os.path.islink(candidate) and not os.path.isdir(
+        os.path.realpath(candidate)
+    ):
+        # async-save crash window: the alias was repointed but the epoch
+        # dir's background commit never landed.  The previous target is
+        # still on disk (save_checkpoint pins it through the prune).
+        raise FileNotFoundError(
+            f"checkpoint alias {candidate!r} dangles (an async save was "
+            f"interrupted before commit); restore from an explicit "
+            f"epoch_N directory in {_ckpt_dir(path)!r} instead"
+        )
     if os.path.isdir(candidate):
         path = candidate
     template = {

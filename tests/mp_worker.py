@@ -119,6 +119,39 @@ def main() -> None:
 
     print(f"MPLIVE rank={rank} nproc={nproc} loss={loss!r}", flush=True)
 
+    # Pipeline parallelism ACROSS the process boundary: mesh {pipe: 2,
+    # data: 4} puts stage 0 entirely on this process's devices and stage 1
+    # on the peer's, so every GPipe activation hop (lax.ppermute,
+    # parallel/pipeline.py) crosses the Gloo transport.  Run the same
+    # global step pipelined; the test asserts rank equality and equality
+    # with the single-process pipelined run (identical rng streams — both
+    # launch shapes fold the same microbatch indices).
+    from denseclip_vit_multimodal_tpu.parallel.pipeline import (
+        activate_pipeline,
+    )
+
+    mesh_pp = make_mesh({"pipe": 2, "data": 4})
+    variables_pp = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 32, 64, 3), jnp.float32),
+        jnp.asarray(texts),
+    )
+    state_pp = create_train_state(
+        model, variables_pp, cfg.get("training", {}), 10
+    )
+    state_pp = replicate(state_pp, mesh_pp)
+    # {pipe: 2, data: 4} is pipe-major: each process's 4 devices hold one
+    # ENTIRE pipe stage (all 4 data shards), so the per-process-slice loader
+    # contract does not apply — every process feeds the full global batch
+    # and shard_batch extracts the addressable shards.
+    batch_pp = shard_batch(_global_batch(), mesh_pp, process_local=False)
+    with activate_pipeline(mesh_pp):
+        step_pp = make_train_step(texts, aug_cfg, grad_accum_steps=1)
+        state_pp, metrics_pp = step_pp(state_pp, batch_pp, jax.random.PRNGKey(0))
+    loss_pp = float(metrics_pp["loss_total"])
+    assert np.isfinite(loss_pp), loss_pp
+    print(f"MPLIVE_PP rank={rank} nproc={nproc} loss={loss_pp!r}", flush=True)
+
 
 if __name__ == "__main__":
     main()

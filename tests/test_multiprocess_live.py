@@ -50,14 +50,16 @@ def _worker_env(n_local: int, coord=None, nproc=None, rank=None) -> dict:
     return env
 
 
-def _parse_loss(stdout: str, want_rank: int, want_nproc: int) -> float:
+def _parse_loss(
+    stdout: str, want_rank: int, want_nproc: int, tag: str = "MPLIVE "
+) -> float:
     for line in stdout.splitlines():
-        if line.startswith("MPLIVE "):
+        if line.startswith(tag):
             fields = dict(kv.split("=", 1) for kv in line.split()[1:])
             assert int(fields["rank"]) == want_rank, line
             assert int(fields["nproc"]) == want_nproc, line
             return float(fields["loss"])
-    raise AssertionError(f"no MPLIVE line in output:\n{stdout}")
+    raise AssertionError(f"no {tag!r} line in output:\n{stdout}")
 
 
 def test_two_process_train_step_matches_single_process(tmp_path):
@@ -115,3 +117,13 @@ def test_two_process_train_step_matches_single_process(tmp_path):
     ref_loss = _parse_loss(ref.stdout, 0, 1)
     # cross-process Gloo reductions may re-associate vs the in-process ring
     np.testing.assert_allclose(losses[0], ref_loss, rtol=1e-5)
+
+    # Pipelined step: stage hops (ppermute) crossed the process boundary
+    # ({pipe: 2, data: 4} puts one stage per process); both ranks agree and
+    # match the single-process pipelined run of the same global step.
+    losses_pp = [
+        _parse_loss(out, r, 2, tag="MPLIVE_PP ") for r, out in enumerate(outs)
+    ]
+    assert losses_pp[0] == losses_pp[1], losses_pp
+    ref_pp = _parse_loss(ref.stdout, 0, 1, tag="MPLIVE_PP ")
+    np.testing.assert_allclose(losses_pp[0], ref_pp, rtol=1e-5)

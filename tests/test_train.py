@@ -341,3 +341,41 @@ def test_async_checkpoint_roundtrip(tiny_setup, tmp_path):
     _, epoch2, _ = restore_checkpoint(str(tmp_path), state)
     assert epoch2 == 2
     assert os.path.isdir(os.path.join(base, "epoch_1"))  # still intact
+
+
+def test_async_crash_window_protections(tiny_setup, tmp_path):
+    """(a) The prune must never delete the directory `best` pointed at
+    BEFORE an async repoint (the new dir's commit may still be in flight);
+    (b) restoring through a dangling alias (async save interrupted before
+    commit) raises a clear error instead of an orbax stack trace."""
+    import os
+    import shutil
+
+    from denseclip_vit_multimodal_tpu.train.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+        wait_for_pending_saves,
+    )
+
+    _, texts, state = tiny_setup
+    save_checkpoint(str(tmp_path), state, epoch=0, best_metric=0.9,
+                    is_best=True, async_save=True)
+    # many later epochs push epoch_0 out of the keep window; it must
+    # survive every prune because an alias points (or pointed) at it
+    for e in range(1, 4):
+        save_checkpoint(str(tmp_path), state, epoch=e, best_metric=0.1,
+                        keep=2, async_save=True)
+    wait_for_pending_saves()
+    base = os.path.join(str(tmp_path), "checkpoints")
+    assert os.path.isdir(os.path.join(base, "epoch_0"))  # pinned by `best`
+    # the moment `best` is repointed to a NEW epoch, the OLD target must
+    # still survive THAT call's prune (its commit may be pending)
+    save_checkpoint(str(tmp_path), state, epoch=4, best_metric=0.95,
+                    is_best=True, keep=2, async_save=True)
+    assert os.path.isdir(os.path.join(base, "epoch_0"))
+    wait_for_pending_saves()
+
+    # dangling alias: simulate an interrupted commit
+    shutil.rmtree(os.path.join(base, "epoch_4"))
+    with pytest.raises(FileNotFoundError, match="dangles"):
+        restore_checkpoint(str(tmp_path), state, which="best")
