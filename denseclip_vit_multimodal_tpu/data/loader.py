@@ -171,12 +171,18 @@ def build_dataset(data_cfg, split: str):
 
         syn = get("synthetic_options", {}) or {}
         syn_get = syn.get if hasattr(syn, "get") else dict(syn).get
+        # Synthetic samples must mirror the REAL dataset type's shape:
+        # seg-only types get no fabricated depth (generating full-res depth
+        # per sample is pure waste on the host), and the label space follows
+        # the type's class count unless `classes` overrides it.
+        seg_only = dtype_name in ("CityscapesDataset", "ADE20KSegmentation",
+                                  "ADE20K")
+        default_classes = 150 if "ADE20K" in dtype_name else 19
         return SyntheticDataset(
             length=int(syn_get("length", 64)),
             image_size=tuple(syn_get("image_size", (512, 1024))),
-            num_classes=int(get("classes", 19)),
-            with_depth=dtype_name != "CityscapesDataset"
-            and bool(syn_get("with_depth", True)),
+            num_classes=int(get("classes", default_classes)),
+            with_depth=not seg_only and bool(syn_get("with_depth", True)),
             depth_max=float(get("depth_max", 80.0)),
             seed=int(syn_get("seed", 0)) + (0 if split == "train" else 7919),
         )

@@ -11,8 +11,11 @@ configs/denseclip_fpn_vit-b_640x640_80k.py:50):
   * aug_test: logits averaged over scales {0.5..1.75} x {flip} in fp32
     (denseclip.py:1005-1041 averages seg logits and depth maps).
 
-One compiled program per (input shape, mode); an LRU of jitted callables
-keyed on static shapes replaces torch's dynamic re-tracing.
+One compiled program per (input shape, mode); a cache of jitted callables
+keyed on static protocol tuples replaces torch's dynamic re-tracing.  The
+cache is unbounded by design — a serving process uses a handful of fixed
+protocols; sweeping many distinct crop/stride/scale sets in one process
+accretes one compiled program each.
 """
 
 from __future__ import annotations
@@ -325,6 +328,7 @@ class Inferencer:
         crop: Tuple[int, int] = (640, 640),
         stride: Tuple[int, int] = (426, 426),
         window_batch: int = 0,
+        preprocessed: bool = False,
         window_sharding=None,
         fetch: str = "logits",
     ) -> Dict[str, np.ndarray]:
@@ -337,10 +341,13 @@ class Inferencer:
         upsampled logit sum; scale sums accumulate on device and the host
         fetches per the `fetch` policy (see `_package`).  In slide mode
         `window_sharding` spreads every view's windows over the mesh.
+        `preprocessed` mirrors `predict`: pass True for already
+        CLIP-normalized inputs (double normalization silently degrades the
+        multi-scale average).
         """
         window_sharding = self._check_window_sharding(window_sharding, mode)
         b, h, w, _ = images.shape
-        image0 = self.preprocess(images)
+        image0 = images if preprocessed else self.preprocess(images)
         variables, texts = self.variables, self.texts
         if window_sharding is not None:
             variables, texts, image0 = self._replicated_for(

@@ -94,7 +94,13 @@ def slide_inference(
     SPMD over windows and XLA gathers the logits for the overlap-add.
     """
     b, h, w, _ = image.shape
-    ch, cw = crop
+    # Clamp the crop to the frame: JAX slicing would silently TRUNCATE each
+    # window while the head-res logits still upsample to the full crop and
+    # get top-sliced — geometrically wrong output with no error.  A crop
+    # covering the whole axis degrades to one window on that axis, matching
+    # mmseg's behavior and Inferencer's own clamping.
+    ch, cw = min(crop[0], h), min(crop[1], w)
+    crop = (ch, cw)
     grid = slide_grid((h, w), crop, stride)
     n_win = len(grid)
 

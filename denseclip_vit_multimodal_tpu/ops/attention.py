@@ -85,9 +85,10 @@ def flash_attention(
 ) -> jnp.ndarray:
     """Pallas attention. q/k/v: [B, N, H, Dh] -> [B, N, H, Dh].  Exact, any N.
 
-    Dispatch: ViT-window sizes (N <= 4096) use the one-shot kernel
-    (ops/mha_kernel.py — measured 2.4 ms vs 3.2 ms bundled at N=1601 on
-    v5e); longer sequences stream through the bundled blockwise kernel.
+    Dispatch: sequences up to _ONESHOT_MAX_SEQ (8448 — covers ViT windows
+    AND 8193-token whole frames) use the one-shot kernel (ops/mha_kernel.py
+    — measured 2.4 ms vs 3.2 ms bundled at N=1601 on v5e); longer
+    sequences stream through the bundled blockwise kernel.
     `valid_len` masks trailing pad keys of an already-padded sequence.
     CONTRACT: output rows [valid_len, N) are UNSPECIFIED — the one-shot
     and XLA paths compute them against masked keys while the bundled

@@ -41,6 +41,7 @@ import jax.numpy as jnp
 from denseclip_vit_multimodal_tpu.ops.mha_kernel import (
     _LANE,
     _LOG2E,
+    _VMEM_SCOPED,
     _pick_block_q,
     _softmax_unnormalized,
 )
@@ -262,7 +263,7 @@ def lnqkv_supported(num_heads: int, model_dim: int, n: int = 0) -> bool:
         lane_block = max(_LANE // head_dim, 1) * head_dim
         n_pad = -(-n // _LANE) * _LANE
         resident = n_pad * 2 * (2 * model_dim + 2 * lane_block)
-        if resident + 8 * n_pad * 4 * 2 > 14 * 1024 * 1024:
+        if resident + 8 * n_pad * 4 * 2 > _VMEM_SCOPED:
             return False
     return True
 

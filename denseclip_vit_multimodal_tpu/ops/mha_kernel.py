@@ -627,7 +627,9 @@ def _qkv_int8_fwd_impl(qkv, num_heads, scale, block_q, interpret,
         # scales) reflects only real tokens.  The kernel -inf-masks those
         # score columns regardless, so the zeroing only affects the scales.
         row = jnp.arange(n_pad) < valid_len
-        qkv = qkv * row[None, :, None].astype(qkv.dtype)
+        # where, not multiply: 0 * inf/NaN pad garbage would poison the
+        # abs-max scales (and thus every output row) instead of zeroing.
+        qkv = jnp.where(row[None, :, None], qkv, jnp.zeros((), qkv.dtype))
 
     # symmetric per-(batch, head) quantization of q/k/v: TWO passes over the
     # projection (abs-max reduce; bf16 multiply + truncating int8 cast).

@@ -35,12 +35,10 @@ def score_map(visual: jnp.ndarray, text: jnp.ndarray) -> jnp.ndarray:
       [B, H, W, K] fp32 scores in [-1, 1].
     """
     vis = visual.astype(jnp.float32)
-    txt = text.astype(jnp.float32)
-    # Normalize the small operand exactly; fold the visual normalization into
-    # a row scaling of the matmul result (single pass over the big tensor).
-    txt_n = txt / jnp.maximum(
-        jnp.linalg.norm(txt, axis=-1, keepdims=True), 1e-12
-    )
+    # Normalize the small operand exactly (torch F.normalize semantics, one
+    # shared helper); fold the visual normalization into a row scaling of
+    # the matmul result (single pass over the big tensor).
+    txt_n = l2_normalize(text.astype(jnp.float32))
     raw = jnp.einsum("bhwc,bkc->bhwk", vis, txt_n, preferred_element_type=jnp.float32)
     inv_norm = jax.lax.rsqrt(
         jnp.maximum(jnp.sum(jnp.square(vis), axis=-1, keepdims=True), 1e-24)

@@ -42,6 +42,29 @@ def test_slide_identity_forward_averages_to_input():
     np.testing.assert_allclose(np.asarray(out), np.asarray(x), rtol=1e-5)
 
 
+def test_slide_inference_clamps_oversized_crop_geometrically():
+    """A crop exceeding the frame must clamp INSIDE slide_inference: with a
+    head-resolution forward, an oversized crop must return exactly the
+    clamped-crop result — the pre-fix behavior upsampled the truncated
+    window's logits to the full crop and top-sliced them (stretched,
+    shifted content, no error raised).  Guards tools/export.py's direct
+    slide path, which has no engine-level clamp."""
+    h, w, c = 32, 64, 4
+    x = jnp.asarray(np.random.RandomState(3).rand(1, h, w, c).astype(np.float32))
+
+    def head_res_forward(win):
+        # a shape-sensitive "model": 2x2 average pool (half resolution)
+        n, wh, ww, wc = win.shape
+        return win.reshape(n, wh // 2, 2, ww // 2, 2, wc).mean(axis=(2, 4))
+
+    oversized = slide_inference(
+        head_res_forward, x, num_outputs=c, crop=(64, 128), stride=(48, 96))
+    exact = slide_inference(
+        head_res_forward, x, num_outputs=c, crop=(h, w), stride=(h, w))
+    np.testing.assert_allclose(
+        np.asarray(oversized), np.asarray(exact), rtol=1e-6, atol=1e-6)
+
+
 def test_slide_head_resolution_forward_matches_model_resize(tiny_inferencer):
     """resize_outputs=False + in-engine upsample == resize-in-model path.
 
