@@ -37,6 +37,10 @@ from flax import linen as nn
 
 Dtype = Any
 
+# Transformer stacks that requested pipelining but had to fall back warn
+# once per offending (layers, batch, stages, microbatches) shape.
+_PIPELINE_FALLBACK_WARNED: set = set()
+
 # Attention core implementations, selectable per-module or globally.
 ATTN_XLA = "xla"
 ATTN_FLASH = "flash"  # Pallas flash attention (TPU only)
@@ -541,12 +545,37 @@ class Transformer(nn.Module):
             )
 
             pctx = current_pipeline()
-            if (
-                pctx is not None
-                and self.layers % pctx.stages == 0
-                and x.shape[0] % (pctx.microbatches or pctx.stages) == 0
-                and self.has_variable("params", "blocks")
-            ):
+            if pctx is not None and self.has_variable("params", "blocks"):
+                micro = pctx.microbatches or pctx.stages
+                blockers = []
+                if self.layers % pctx.stages:
+                    blockers.append(
+                        f"{self.layers} layers % {pctx.stages} stages != 0"
+                    )
+                if x.shape[0] % micro:
+                    blockers.append(
+                        f"batch {x.shape[0]} % {micro} microbatches != 0"
+                    )
+                if blockers:
+                    # Falling back to the replicated scan burns stages x
+                    # redundant compute with no other signal — say so once
+                    # per offending shape (trace-time, so cheap).
+                    import warnings
+
+                    key = (self.layers, x.shape[0], pctx.stages, micro)
+                    if key not in _PIPELINE_FALLBACK_WARNED:
+                        _PIPELINE_FALLBACK_WARNED.add(key)
+                        warnings.warn(
+                            "pipeline parallelism requested but this "
+                            f"transformer stack falls back to the plain "
+                            f"scan ({'; '.join(blockers)}) — it runs "
+                            "REPLICATED over the pipe axis",
+                            stacklevel=2,
+                        )
+                    pctx = None
+            else:
+                pctx = None
+            if pctx is not None:
                 stacked = self.get_variable("params", "blocks")["block"]
                 block = ResidualAttentionBlock(
                     num_heads=num_heads,

@@ -213,6 +213,34 @@ def replicate(tree: Any, mesh: Mesh) -> Any:
     return jax.device_put(tree, replicated_sharding(mesh))
 
 
+def data_axis_is_process_local(mesh: Mesh, axis: str = DATA_AXIS) -> bool:
+    """True iff each process's devices own a contiguous, disjoint
+    1/num_processes slice of the ``axis``-sharded batch dimension — the
+    loader contract behind ``shard_batch(process_local=True)``.
+
+    Holds for data-leading meshes (``{data: N, model: M}``); FAILS when
+    another axis leads and a process's devices replicate the whole batch
+    (e.g. ``{pipe: 2, data: 4}`` over 2 processes, or ``{model: 2,
+    data: 4}``) — those layouts need ``process_local=False`` with every
+    process feeding the full global batch.
+    """
+    nproc = jax.process_count()
+    if nproc == 1:
+        return True
+    n = mesh.shape[axis]
+    if n % nproc:
+        return False
+    sharding = batch_sharding(mesh, axis)
+    per_rank = n // nproc
+    for dev, idx in sharding.devices_indices_map((n,)).items():
+        lo = idx[0].start or 0
+        hi = idx[0].stop if idx[0].stop is not None else n
+        rank = dev.process_index
+        if not (rank * per_rank <= lo and hi <= (rank + 1) * per_rank):
+            return False
+    return True
+
+
 def local_batch_size(global_batch: int, mesh: Mesh, axis: str = DATA_AXIS) -> int:
     """Per-process batch size for a global batch sharded over `axis`."""
     per_process = global_batch // jax.process_count()

@@ -98,7 +98,7 @@ def _reshape_leading(tree: Any, s: int) -> Any:
 
 
 def pipeline_blocks(
-    block_apply: Callable[[Any, jnp.ndarray, Any], jnp.ndarray],
+    block_apply: Callable[[Any, jnp.ndarray, Any, jnp.ndarray], jnp.ndarray],
     stacked_params: Any,
     x: jnp.ndarray,
     per_layer: Any,
@@ -244,6 +244,10 @@ def enable_pipeline_from_config(tpu_cfg: Any, mesh: Mesh) -> bool:
     step TRACES, which for a training run is simply "always".  Returns True
     when a pipeline was activated.  Calling again REBINDS: a new config/mesh
     replaces the context, and a config without `tpu.pipeline` clears it (no
-    stale mesh survives a rebuild in the same process)."""
+    stale mesh survives a rebuild in the same process).  CAVEAT: the context
+    is consulted at TRACE time only — functions already jit-compiled keep
+    the layout they were traced with; rebind BEFORE building/tracing the
+    steps (fresh `make_train_step`/`Inferencer`), not between calls to an
+    existing one."""
     _ACTIVE.set(_context_from_config(tpu_cfg, mesh))
     return current_pipeline() is not None

@@ -296,6 +296,21 @@ def train(cfg, work_dir: str, resume: Optional[str] = None,
         )
 
     # --- data ---
+    if jax.process_count() > 1 and not mesh_lib.data_axis_is_process_local(
+        mesh
+    ):
+        # The loader feeds each process a disjoint 1/P slice of the global
+        # batch; a mesh whose leading axis isn't `data` (e.g. {pipe: 2,
+        # data: N}) makes every process's devices span ALL data shards, so
+        # shard_batch(process_local=True) would fail at the first batch.
+        raise ValueError(
+            f"tpu.mesh {dict(zip(mesh.axis_names, mesh.devices.shape))} "
+            "does not give each process a contiguous slice of the data "
+            "axis — order the mesh data-first (e.g. {data: N, pipe: S}), "
+            "which keeps pipeline/model hops intra-process, or feed full "
+            "global batches via shard_batch(process_local=False) in a "
+            "custom loop"
+        )
     train_ds = build_dataset(data_cfg, "train")
     global_batch = int(training_cfg.get("batch_size", 8))
     data_ways = mesh.shape[mesh_lib.DATA_AXIS]

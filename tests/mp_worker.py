@@ -130,7 +130,15 @@ def main() -> None:
         activate_pipeline,
     )
 
+    from denseclip_vit_multimodal_tpu.parallel.mesh import (
+        data_axis_is_process_local,
+    )
+
     mesh_pp = make_mesh({"pipe": 2, "data": 4})
+    if nproc > 1:
+        # the loader-contract check must classify both layouts correctly
+        assert data_axis_is_process_local(mesh)  # {data: 8}, data-leading
+        assert not data_axis_is_process_local(mesh_pp)  # pipe-major
     variables_pp = jax.jit(model.init)(
         jax.random.PRNGKey(0),
         jnp.zeros((1, 32, 64, 3), jnp.float32),

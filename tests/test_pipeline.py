@@ -239,6 +239,43 @@ def test_transformer_falls_back_when_indivisible():
     np.testing.assert_allclose(np.asarray(out3), np.asarray(ref3), rtol=1e-6)
 
 
+def test_fallback_warns_replicated_compute():
+    """Divisibility fallback on a NON-causal stack must warn — a silent
+    fallback burns stages x redundant compute with no signal."""
+    from denseclip_vit_multimodal_tpu.models import layers as layers_mod
+
+    layers_mod._PIPELINE_FALLBACK_WARNED.clear()
+    tf = _transformer(layers=5)  # 5 % 2 stages != 0
+    x = jax.random.normal(jax.random.PRNGKey(9), (4, 10, 32), jnp.float32)
+    variables = tf.init(jax.random.PRNGKey(0), x)
+    with activate_pipeline(make_mesh({"pipe": 2, "data": 4})):
+        with pytest.warns(UserWarning, match="REPLICATED"):
+            tf.apply(variables, x)
+    # causal stacks fall back silently by design (text towers)
+    layers_mod._PIPELINE_FALLBACK_WARNED.clear()
+    tfc = _transformer(layers=5, causal=True)
+    vc = tfc.init(jax.random.PRNGKey(0), x)
+    import warnings as _w
+
+    with activate_pipeline(make_mesh({"pipe": 2, "data": 4})):
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            tfc.apply(vc, x)
+
+
+def test_data_axis_process_locality_check(monkeypatch):
+    """{pipe: 2, data: 4} over >1 process replicates the batch per process —
+    the loader contract check must reject it (train/loop.py raises)."""
+    from denseclip_vit_multimodal_tpu.parallel.mesh import (
+        data_axis_is_process_local,
+    )
+
+    mesh = make_mesh({"pipe": 2, "data": 4})
+    assert data_axis_is_process_local(mesh)  # single-process: trivially ok
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    assert not data_axis_is_process_local(mesh)
+
+
 def test_causal_stack_never_pipelines():
     """Text towers (causal) keep the scan even under an active pipeline."""
     tf = _transformer(causal=True)
