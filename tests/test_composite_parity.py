@@ -351,3 +351,65 @@ def test_reference_resnet_composite_is_dead_code(ref_pkg):
     finally:
         F.multi_head_attention_forward = orig
     assert feats == []
+
+
+def test_import_checkpoint_cli_roundtrip(parity_pair, tmp_path):
+    """tools/import_checkpoint.py migrates a reference trainer .pth.
+
+    Saves the reference model in the trainer's checkpoint format
+    (reference train_denseclip.py:892-908, with DDP `module.` prefixes),
+    runs the CLI, restores through the standard Orbax path, and asserts
+    the restored forward matches the directly-transplanted one exactly.
+    """
+    import yaml
+
+    from denseclip_vit_multimodal_tpu.train.checkpoint import (
+        restore_checkpoint,
+    )
+    from denseclip_vit_multimodal_tpu.train.state import create_train_state
+    from tools.import_checkpoint import main as import_main
+
+    ref, model, variables, texts, img = parity_pair
+
+    sd = {f"module.{k}": v for k, v in ref.state_dict().items()}
+    pth = tmp_path / "ref_epoch7.pth"
+    torch.save({"epoch": 7, "state_dict": sd, "best_metric": 0.5}, str(pth))
+
+    cfg = {
+        "model": {
+            **{k: dict(v) for k, v in MODEL_CFG.items()},
+            "context_length": FIXED_CTX,
+            "text_dim": EMBED,
+            "score_concat_index": -1,
+        },
+        "training": {"batch_size": 2},
+    }
+    cfg_path = tmp_path / "tiny.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    out_dir = tmp_path / "wd"
+    import_main([str(cfg_path), str(pth), "--out", str(out_dir)])
+
+    fresh = model.init(
+        jax.random.PRNGKey(1), jnp.asarray(img), jnp.asarray(texts)
+    )
+    state = create_train_state(model, fresh, {}, 1)
+    state, epoch, best = restore_checkpoint(str(out_dir), state)
+    assert epoch == 7
+    assert best == pytest.approx(0.5)
+
+    restored = jax.tree.map(
+        jnp.asarray, {"params": state.params, "batch_stats": state.batch_stats}
+    )
+    want = model.apply(
+        variables, jnp.asarray(img), jnp.asarray(texts), train=False
+    )
+    got = model.apply(
+        restored, jnp.asarray(img), jnp.asarray(texts), train=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(want["seg"]), np.asarray(got["seg"]), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(want["depth"]), np.asarray(got["depth"]), atol=1e-6
+    )
