@@ -271,6 +271,10 @@ def train(cfg, work_dir: str, resume: Optional[str] = None,
     training_cfg = cfg.get("training", {}) or {}
     data_cfg = cfg.get("data", {}) or {}
 
+    from denseclip_vit_multimodal_tpu.utils.env import apply_tpu_options
+
+    apply_tpu_options(tpu_cfg)
+
     seed = int(training_cfg.get("seed", 42))
     rng = jax.random.PRNGKey(seed)
 

@@ -38,6 +38,41 @@ def collect_env_info() -> str:
     return "\n".join(lines)
 
 
+def apply_tpu_options(tpu_cfg) -> None:
+    """Session-level JAX options from the config's `tpu:` section.
+
+    `tpu.compilation_cache: <dir>` turns on JAX's persistent compilation
+    cache: jit artifacts are written to disk and reused across process
+    restarts, cutting the 20-40 s cold compile of the full model when an
+    eval/serving CLI is re-launched (no reference equivalent — torch eager
+    has no compile step to cache).  Thresholds are zeroed so every program
+    in the slide/aug-test family caches, not just the slowest ones.
+    """
+    get = tpu_cfg.get if hasattr(tpu_cfg, "get") else dict(tpu_cfg or {}).get
+    cache_dir = get("compilation_cache", None)
+    if cache_dir:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        # JAX's default 1 s minimum keeps trivial programs (and their
+        # per-dispatch cache probes) out; `tpu.compilation_cache_min_secs: 0`
+        # caches everything.
+        min_secs = get("compilation_cache_min_secs", None)
+        if min_secs is not None:
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", float(min_secs)
+            )
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        # The cache singleton latches its directory at the first post-init
+        # jit; if something already compiled (or an env var pre-seeded a
+        # different dir), drop it so the configured dir takes effect.
+        from jax.experimental.compilation_cache import (
+            compilation_cache as _cc,
+        )
+
+        _cc.reset_cache()
+
+
 def set_determinism(matmul_precision: str = "highest") -> None:
     """XLA is deterministic by default; this pins matmul precision so runs
     are bit-reproducible across restarts (the TPU analog of the reference's

@@ -87,3 +87,31 @@ def test_get_flops_cli(capsys):
     flops_cli.main([CONFIG, "--shape", "64", "128", "--set", *TINY])
     out = capsys.readouterr().out
     assert "FLOPs" in out or "flops" in out.lower()
+
+
+def test_compilation_cache_option(tmp_path):
+    """tpu.compilation_cache populates a persistent jit cache on disk."""
+    import jax
+    import jax.numpy as jnp
+
+    from denseclip_vit_multimodal_tpu.utils.env import apply_tpu_options
+
+    cache = tmp_path / "jitcache"
+    try:
+        apply_tpu_options({"compilation_cache": str(cache),
+                           "compilation_cache_min_secs": 0})
+        assert jax.config.jax_compilation_cache_dir == str(cache)
+        jax.jit(lambda x: x * 2 + 1)(jnp.ones((8, 8))).block_until_ready()
+        assert cache.exists() and any(cache.iterdir())
+        # no-op config leaves the setting alone
+        apply_tpu_options({})
+        assert jax.config.jax_compilation_cache_dir == str(cache)
+    finally:
+        # tmp_path is deleted after the test: detach the global cache dir
+        # so later compiles in this process don't write into a dead path
+        jax.config.update("jax_compilation_cache_dir", None)
+        from jax.experimental.compilation_cache import (
+            compilation_cache as _cc,
+        )
+
+        _cc.reset_cache()

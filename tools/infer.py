@@ -63,6 +63,9 @@ def main(argv=None):
     )
     class_names = class_names_for(cfg.get("data", {}))
     tpu_cfg = cfg.get("tpu", {}) or {}
+    from denseclip_vit_multimodal_tpu.utils.env import apply_tpu_options
+
+    apply_tpu_options(tpu_cfg)
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
         str(tpu_cfg.get("compute_dtype", "bfloat16"))
     ]
