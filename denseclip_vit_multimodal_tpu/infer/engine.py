@@ -45,6 +45,7 @@ class Inferencer:
         aug_cfg: Optional[AugmentConfig] = None,
         num_classes: int = 19,
         with_depth: Optional[bool] = None,
+        cache_text: bool = True,
     ):
         self.model = model
         self.variables = variables
@@ -68,6 +69,9 @@ class Inferencer:
             )
             with_depth = False
         self.with_depth = with_depth
+        # Hoist the image-independent text tower out of the per-frame
+        # programs (see _text_base); exact — the same tensor either way.
+        self.cache_text = cache_text
         self._jit_cache: Dict = {}
 
     # --- compiled kernels, cached per static config ---
@@ -76,26 +80,53 @@ class Inferencer:
         key = ("whole",)
         if key not in self._jit_cache:
 
-            def run(variables, image, texts):
+            def run(variables, image, texts, cached_text):
                 # One implementation for both entry points: aug_test and
                 # predict share _forward_logits (crop/stride/window args
                 # are unused in whole mode).
                 return self._forward_logits(
-                    variables, image, texts, "whole", (0, 0), (0, 0), 0
+                    variables, image, texts, "whole", (0, 0), (0, 0), 0,
+                    cached_text=cached_text,
                 )
 
             self._jit_cache[key] = jax.jit(run)
         return self._jit_cache[key]
 
+    def _text_base(self, variables, texts):
+        """Precomputed text-tower output, cached per (variables, texts).
+
+        The tower is image-independent (models/denseclip.py::encode_text_base)
+        so a serving loop pays it once per checkpoint, not once per frame.
+        Identity-keyed like `_replicated_for`: loading a new checkpoint into
+        a live Inferencer recomputes instead of serving stale features.
+        """
+        if not self.cache_text:
+            return None
+        fn_key = ("text_base_fn",)
+        if fn_key not in self._jit_cache:
+            self._jit_cache[fn_key] = jax.jit(
+                lambda v, t: self.model.apply(
+                    v, t, method="encode_text_base"
+                )
+            )
+        key = ("text_base",)
+        cached = self._jit_cache.get(key)
+        if cached is None or cached[0] is not variables or cached[1] is not texts:
+            cached = (variables, texts, self._jit_cache[fn_key](variables, texts))
+            self._jit_cache[key] = cached
+        return cached[2]
+
     def _forward_logits(self, variables, image, texts, mode, crop, stride,
-                        window_batch, window_sharding=None):
+                        window_batch, window_sharding=None, cached_text=None):
         """Traceable seg/depth forward for either mode.
 
         Returns (seg [B, H, W, K] fp32, depth [B, H, W, 1] fp32 or None) at
         the input spatial size.
         """
         if mode == "whole":
-            out = self.model.apply(variables, image, texts, train=False)
+            out = self.model.apply(
+                variables, image, texts, train=False, cached_text=cached_text
+            )
             seg = out["seg"].astype(jnp.float32)
             depth = out.get("depth")
             depth = None if depth is None else depth.astype(jnp.float32)
@@ -114,7 +145,8 @@ class Inferencer:
             # Head-resolution outputs: the slide engine fuses the upsample
             # into its scatter loop (see infer/slide.py).
             out = self.model.apply(
-                variables, windows, texts, train=False, resize_outputs=False
+                variables, windows, texts, train=False, resize_outputs=False,
+                cached_text=cached_text,
             )
             parts = [out["seg"]]
             if self.with_depth and out.get("depth") is not None:
@@ -136,10 +168,10 @@ class Inferencer:
         key = ("slide", crop, stride, window_batch, window_sharding)
         if key not in self._jit_cache:
 
-            def run(variables, image, texts):
+            def run(variables, image, texts, cached_text):
                 return self._forward_logits(
                     variables, image, texts, "slide", crop, stride,
-                    window_batch, window_sharding,
+                    window_batch, window_sharding, cached_text=cached_text,
                 )
 
             self._jit_cache[key] = jax.jit(run)
@@ -160,7 +192,7 @@ class Inferencer:
                window_batch, window_sharding)
         if key not in self._jit_cache:
 
-            def run(variables, image0, texts):
+            def run(variables, image0, texts, cached_text):
                 b = image0.shape[0]
                 sh, sw = scaled_hw
                 scaled = jax.image.resize(
@@ -173,7 +205,7 @@ class Inferencer:
                 )
                 seg, depth = self._forward_logits(
                     variables, batch, texts, mode, crop, stride, window_batch,
-                    window_sharding,
+                    window_sharding, cached_text=cached_text,
                 )
 
                 def fold(x):
@@ -301,7 +333,8 @@ class Inferencer:
         image = images if preprocessed else self.preprocess(images)
         if mode == "whole":
             seg_logits, depth = self._whole_fn()(
-                self.variables, image, self.texts
+                self.variables, image, self.texts,
+                self._text_base(self.variables, self.texts),
             )
         elif mode == "slide":
             variables, texts = self.variables, self.texts
@@ -314,7 +347,7 @@ class Inferencer:
                 )
             seg_logits, depth = self._slide_fn(
                 tuple(crop), tuple(stride), window_batch, window_sharding
-            )(variables, image, texts)
+            )(variables, image, texts, self._text_base(variables, texts))
         else:
             raise ValueError(f"Unknown inference mode: {mode}")
         return self._package(seg_logits, depth, fetch)
@@ -353,6 +386,7 @@ class Inferencer:
             variables, texts, image0 = self._replicated_for(
                 window_sharding, (variables, texts, image0)
             )
+        cached_text = self._text_base(variables, texts)
         acc_seg = None
         acc_depth = None
         n = 0
@@ -368,7 +402,7 @@ class Inferencer:
                 window_batch,
                 window_sharding,  # already None unless mode == "slide"
             )
-            seg_sum, depth_sum = fn(variables, image0, texts)
+            seg_sum, depth_sum = fn(variables, image0, texts, cached_text)
             acc_seg = seg_sum if acc_seg is None else acc_seg + seg_sum
             if depth_sum is not None:
                 acc_depth = (

@@ -76,29 +76,71 @@ class DenseCLIP(nn.Module):
     def is_context_encoder(self) -> bool:
         return isinstance(self.text_encoder, CLIPTextContextEncoder)
 
+    def setup(self):
+        # Declared in setup (not the compact __call__) so encode_text_base can
+        # be invoked standalone via apply(method=...) — Flax only permits
+        # self.param in setup or the one compact method.  The name and scope
+        # ("contexts" at module root) match the previous compact declaration,
+        # so existing checkpoints load unchanged.
+        if self.is_context_encoder and self.num_learnable_contexts > 0:
+            self.contexts = self.param(
+                "contexts",
+                nn.initializers.truncated_normal(
+                    stddev=0.02, lower=-2.0, upper=2.0
+                ),
+                (1, self.num_learnable_contexts, self.token_embed_dim),
+                jnp.float32,
+            )
+        else:
+            self.contexts = None
+
+    def encode_text_base(
+        self, texts: jnp.ndarray, deterministic: bool = True
+    ) -> jnp.ndarray:
+        """The image-independent text-tower output ([1, K, C] for the
+        context encoder, [K, C] plain).
+
+        The tower (and its learnable prompt) sees only `texts` + params, so a
+        serving process can run it ONCE per checkpoint and feed the result to
+        every frame via `__call__(cached_text=...)` — only the per-image
+        context-decoder fusion stays in the hot program.  (The reference
+        re-runs its text tower inside every forward,
+        reference denseclip.py:640-656.)  Invoke via
+        `model.apply(variables, texts, method="encode_text_base")`.
+        """
+        return self._text_tower(texts, deterministic)
+
+    def _text_tower(self, texts: jnp.ndarray, deterministic: bool) -> jnp.ndarray:
+        if self.is_context_encoder:
+            if self.contexts is not None:
+                contexts = self.contexts  # declared in setup
+            else:
+                # capacity == fixed length -> nothing to learn; a zero-width
+                # context splices to a no-op (the reference warns and passes
+                # contexts=None, denseclip.py:383-386 — same semantics)
+                contexts = jnp.zeros((1, 0, self.token_embed_dim), jnp.float32)
+            return self.text_encoder(
+                texts, contexts, deterministic=deterministic
+            )  # [1, K, C]
+        return self.text_encoder(texts, deterministic=deterministic)  # [K, C]
+
     def encode_text(
         self,
         texts: jnp.ndarray,
         batch: int,
         visual_context: Optional[jnp.ndarray],
         deterministic: bool,
+        cached_text: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        """Text features [B, K, text_dim], with prompt learning + context fusion."""
-        if self.is_context_encoder:
-            if self.num_learnable_contexts > 0:
-                contexts = self.param(
-                    "contexts",
-                    nn.initializers.truncated_normal(
-                        stddev=0.02, lower=-2.0, upper=2.0
-                    ),
-                    (1, self.num_learnable_contexts, self.token_embed_dim),
-                    jnp.float32,
-                )
-            else:
-                # capacity == fixed length -> nothing to learn; a zero-width
-                # context splices to a no-op (the reference warns and passes
-                # contexts=None, denseclip.py:383-386 — same semantics)
-                contexts = jnp.zeros((1, 0, self.token_embed_dim), jnp.float32)
+        """Text features [B, K, text_dim], with prompt learning + context fusion.
+
+        `cached_text` short-circuits the tower with a precomputed
+        `encode_text_base` result (serving: the tower is per-checkpoint
+        constant; training must NOT pass it — the prompt is learnable).
+        """
+        if cached_text is not None:
+            emb = cached_text
+        else:
             # The learnable prompt is batch-invariant, so the tower output is
             # identical for every batch element: encode ONCE and broadcast —
             # the same encode-once-then-expand the reference does
@@ -107,17 +149,10 @@ class DenseCLIP(nn.Module):
             # re-encoded per batch element (measured ~1 ms/frame of waste at
             # the 10-window slide batch).  The per-image conditioning enters
             # below, through the context-decoder delta.
-            emb = self.text_encoder(
-                texts, contexts, deterministic=deterministic
-            )  # [1, K, C]
-            text_embeddings = jnp.broadcast_to(
-                emb, (batch,) + emb.shape[1:]
-            )
-        else:
-            emb = self.text_encoder(texts, deterministic=deterministic)  # [K, C]
-            text_embeddings = jnp.broadcast_to(
-                emb[None], (batch,) + emb.shape
-            )
+            emb = self._text_tower(texts, deterministic)
+        if emb.ndim == 2:
+            emb = emb[None]  # plain encoder: [K, C] -> [1, K, C]
+        text_embeddings = jnp.broadcast_to(emb, (batch,) + emb.shape[1:])
 
         if self.context_decoder is not None and visual_context is not None:
             gamma = self.param(
@@ -140,6 +175,7 @@ class DenseCLIP(nn.Module):
         gt_hw: Optional[Tuple[int, int]] = None,
         return_features: bool = False,
         resize_outputs: bool = True,
+        cached_text: Optional[jnp.ndarray] = None,
     ) -> Dict[str, jnp.ndarray]:
         """Returns {'seg': [B,h,w,K], 'depth': [B,h,w,1], 'score_map': ...}.
 
@@ -190,7 +226,9 @@ class DenseCLIP(nn.Module):
             else:
                 raise ValueError(f"invalid context_feature {self.context_feature!r}")
 
-        text_embeddings = self.encode_text(texts, b, visual_context, deterministic)
+        text_embeddings = self.encode_text(
+            texts, b, visual_context, deterministic, cached_text=cached_text
+        )
 
         smap = compute_score_map(visual, text_embeddings)  # [B, h, w, K] fp32
 

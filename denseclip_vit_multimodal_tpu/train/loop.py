@@ -161,8 +161,11 @@ def validate(
     n_batches = 0
     best_batch_acc = -1.0
     best_sample = None  # host copies of the best-accuracy batch's sample 0
+    # Params are constant across the eval epoch: run the image-independent
+    # text tower once and feed every batch's program the cached features.
+    cached_text = getattr(eval_step, "text_base", lambda s: None)(state)
     for batch in device_prefetch(padded_batches(), mesh=mesh):
-        results = eval_step(state, batch)
+        results = eval_step(state, batch, cached_text)
         if visualize_to and n_batches == 0 and jax.process_index() == 0:
             try:
                 from denseclip_vit_multimodal_tpu.utils.visualize import (

@@ -197,7 +197,11 @@ def make_eval_step(
     """
     texts = jnp.asarray(texts)
 
-    def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray],
+             cached_text: Optional[jnp.ndarray] = None):
+        # `cached_text`: the image-independent text-tower output, hoisted out
+        # of the per-batch program by the caller (validate computes it once
+        # per eval epoch — params are constant across the epoch).
         pre = eval_preprocess_batch(batch, aug_cfg, resize_to_crop=resize_to_crop)
         gt_hw = batch["seg"].shape[1:3] if "seg" in batch else batch["image"].shape[1:3]
         out = state.apply_fn(
@@ -205,6 +209,7 @@ def make_eval_step(
             pre["image"],
             texts,
             train=False,
+            cached_text=cached_text,
         )
         results: Dict[str, Any] = {}
         if out.get("seg") is not None and "seg" in batch:
@@ -243,4 +248,24 @@ def make_eval_step(
             )
         return results
 
-    return jax.jit(step)
+    jitted = jax.jit(step)
+
+    _tb_cache: Dict[str, Callable] = {}
+
+    def text_base(state: TrainState):
+        """Run the image-independent text tower once for this state's params
+        (fed back as `cached_text`); one compiled program reused across
+        validate calls."""
+        fn = _tb_cache.get("fn")
+        if fn is None:
+            apply_fn = state.apply_fn
+            fn = jax.jit(
+                lambda p, t: apply_fn(
+                    {"params": p}, t, method="encode_text_base"
+                )
+            )
+            _tb_cache["fn"] = fn
+        return fn(state.params, texts)
+
+    jitted.text_base = text_base
+    return jitted

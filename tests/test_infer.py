@@ -380,3 +380,50 @@ def test_graft_entry_dryrun_multichip():
     import __graft_entry__ as graft
 
     graft.dryrun_multichip(8)
+
+
+def test_cached_text_exactness(tiny_inferencer):
+    """Hoisting the image-independent text tower (cached_text) is EXACT:
+    the cached path must produce the identical program inputs, so whole and
+    slide predictions match the uncached Inferencer bit-for-bit."""
+    from denseclip_vit_multimodal_tpu.data.augment import AugmentConfig
+    from denseclip_vit_multimodal_tpu.infer.engine import Inferencer
+
+    uncached = Inferencer(
+        tiny_inferencer.model, tiny_inferencer.variables,
+        np.asarray(tiny_inferencer.texts),
+        AugmentConfig(crop_size=(32, 64)), num_classes=19, with_depth=True,
+        cache_text=False,
+    )
+    imgs = np.random.RandomState(7).randint(
+        0, 255, (1, 64, 128, 3), dtype=np.uint8)
+    for kwargs in (
+        dict(mode="whole"),
+        dict(mode="slide", crop=(32, 64), stride=(16, 48)),
+    ):
+        a = tiny_inferencer.predict(imgs, **kwargs)
+        b = uncached.predict(imgs, **kwargs)
+        np.testing.assert_array_equal(a["seg_logits"], b["seg_logits"])
+        np.testing.assert_array_equal(a["depth"], b["depth"])
+    # aug_test: same averaging, cached vs not
+    a = tiny_inferencer.aug_test(imgs, scales=(0.5, 1.0), mode="whole")
+    b = uncached.aug_test(imgs, scales=(0.5, 1.0), mode="whole")
+    np.testing.assert_array_equal(a["seg_logits"], b["seg_logits"])
+
+
+def test_cached_text_model_level(tiny_inferencer):
+    """model.apply(cached_text=encode_text_base(...)) == plain apply."""
+    model = tiny_inferencer.model
+    variables = tiny_inferencer.variables
+    texts = tiny_inferencer.texts
+    ct = model.apply(variables, texts, method="encode_text_base")
+    assert ct.ndim == 3 and ct.shape[1] == 19  # [1, K, C]
+    img = jnp.asarray(
+        np.random.RandomState(3).rand(2, 32, 64, 3).astype(np.float32))
+    full = model.apply(variables, img, texts, train=False)
+    cached = model.apply(
+        variables, img, texts, train=False, cached_text=ct)
+    np.testing.assert_array_equal(
+        np.asarray(full["seg"]), np.asarray(cached["seg"]))
+    np.testing.assert_array_equal(
+        np.asarray(full["depth"]), np.asarray(cached["depth"]))
