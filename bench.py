@@ -100,8 +100,9 @@ def main():
     # The image-independent text tower runs ONCE per checkpoint in serving
     # (Inferencer.cache_text, the default user path) — hoist it here the
     # same way.  Exact: the cached path feeds the identical tensor
-    # (tests/test_infer.py::test_cached_text_exactness).  Same-session A/B
-    # on v5e: 21.3 -> 25.0 img/s (+17%).
+    # (tests/test_infer.py::test_cached_text_exactness).  Throughput
+    # NEUTRAL on v5e (interleaved A/B; the tower is <0.2 ms/frame) —
+    # this mirrors the serving path, it is not a perf claim.
     cached_text = jax.jit(
         lambda v, t: model.apply(v, t, method="encode_text_base")
     )(variables, texts_j)
