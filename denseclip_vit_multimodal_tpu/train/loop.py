@@ -423,14 +423,27 @@ def train(cfg, work_dir: str, resume: Optional[str] = None,
 
     # --- state / steps ---
     state = create_train_state(model, variables, training_cfg, steps_per_epoch)
-    if mesh_lib.MODEL_AXIS in mesh.axis_names:
+    fsdp = bool(tpu_cfg.get("fsdp", False))
+    if mesh_lib.MODEL_AXIS in mesh.axis_names or fsdp:
         from denseclip_vit_multimodal_tpu.parallel.sharding_rules import (
             shard_train_state,
         )
 
-        state = shard_train_state(state, mesh)
-        logger.info("tensor-parallel params over %d-way model axis",
-                    mesh.shape[mesh_lib.MODEL_AXIS])
+        from denseclip_vit_multimodal_tpu.parallel.sharding_rules import (
+            FSDP_MIN_SIZE,
+        )
+
+        state = shard_train_state(
+            state, mesh, fsdp=fsdp,
+            fsdp_min_size=int(tpu_cfg.get("fsdp_min_size", FSDP_MIN_SIZE)),
+        )
+        if mesh_lib.MODEL_AXIS in mesh.axis_names:
+            logger.info("tensor-parallel params over %d-way model axis",
+                        mesh.shape[mesh_lib.MODEL_AXIS])
+        if fsdp:
+            logger.info(
+                "FSDP: params + optimizer state sharded over the %d-way "
+                "data axis (tpu.fsdp)", mesh.shape[mesh_lib.DATA_AXIS])
     else:
         state = mesh_lib.replicate(state, mesh)
     schedule = build_schedule(training_cfg, steps_per_epoch)

@@ -1,0 +1,222 @@
+"""FSDP (ZeRO-3) param/optimizer sharding over the data axis.
+
+The reference's only scaling strategy is replicate-everything DDP
+(segmentation/train_denseclip.py:1050-1054); FSDP is the TPU-native
+extension: params + Adam moments shard over `data`
+(parallel/sharding_rules.py::fsdp_extend_spec), XLA SPMD inserts the
+all-gathers/reduce-scatters.  These tests pin (a) the spec rules,
+(b) numerical equivalence with plain dp, (c) that per-device memory
+actually drops, and (d) opt-state moments carrying their param's spec.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from denseclip_vit_multimodal_tpu.data.augment import AugmentConfig
+from denseclip_vit_multimodal_tpu.models.denseclip import (
+    CITYSCAPES_CLASSES,
+    build_denseclip,
+)
+from denseclip_vit_multimodal_tpu.parallel.mesh import make_mesh, shard_batch
+from denseclip_vit_multimodal_tpu.parallel.sharding_rules import (
+    fsdp_extend_spec,
+    resolved_spec,
+    shard_train_state,
+)
+from denseclip_vit_multimodal_tpu.train.state import create_train_state
+from denseclip_vit_multimodal_tpu.train.step import make_train_step
+
+
+class _Leaf:
+    def __init__(self, shape):
+        self.shape = tuple(shape)
+        self.ndim = len(shape)
+        self.size = int(np.prod(shape))
+
+
+def test_fsdp_spec_rules():
+    # largest free divisible dim gets the data axis
+    assert fsdp_extend_spec(P(), _Leaf((49408, 512)), 8, min_size=1) == \
+        P("data", None)
+    # TP-owned dim is never touched; next-largest free dim wins
+    assert fsdp_extend_spec(P(None, "model"), _Leaf((768, 2304)), 8,
+                            min_size=1) == P("data", "model")
+    # rank>=3 leading (scan layer) axis is skipped even when divisible
+    spec = fsdp_extend_spec(P(None, None, "model"), _Leaf((8, 768, 2304)), 8,
+                            min_size=1)
+    assert spec == P(None, "data", "model")
+    # small leaves replicate
+    assert fsdp_extend_spec(P(), _Leaf((96,)), 8) == P()
+    # non-divisible dims are skipped (19 classes, 7x7 conv)
+    assert fsdp_extend_spec(P(), _Leaf((7, 19)), 8, min_size=1) == P()
+    # dp=1 mesh: no-op
+    assert fsdp_extend_spec(P(), _Leaf((49408, 512)), 1, min_size=1) == P()
+
+
+def test_fsdp_train_step_matches_dp(tiny_model_cfg):
+    """A dp+fsdp step must produce the same loss/updates as pure dp."""
+    model, texts = build_denseclip(tiny_model_cfg, CITYSCAPES_CLASSES)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 64, 3)), jnp.asarray(texts)
+    )
+    tcfg = {"epochs": 2, "optimizer": {"lr": 1e-3},
+            "scheduler": {"type": "constant"}}
+    aug = AugmentConfig(crop_size=(32, 64), scale_range=(1.0, 1.0),
+                        hflip_prob=0.0)
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": rng.randint(0, 255, (8, 64, 128, 3)).astype(np.uint8),
+        "seg": rng.randint(0, 19, (8, 64, 128)).astype(np.uint8),
+        "depth": rng.uniform(0.1, 80, (8, 64, 128)).astype(np.float32),
+    }
+
+    def run(fsdp):
+        fresh = jax.tree.map(jnp.array, variables)
+        state = create_train_state(model, fresh, tcfg, steps_per_epoch=2)
+        mesh = make_mesh({"data": 8})
+        if fsdp:
+            state = shard_train_state(state, mesh, fsdp=True,
+                                      fsdp_min_size=1024)
+        else:
+            state = jax.device_put(
+                state, jax.sharding.NamedSharding(mesh, P())
+            )
+        step = make_train_step(texts, aug)
+        sharded = shard_batch(batch, mesh)
+        new_state, metrics = step(state, sharded, jax.random.PRNGKey(0))
+        return float(metrics["loss_total"]), np.asarray(
+            new_state.params["contexts"]
+        )
+
+    loss_dp, ctx_dp = run(fsdp=False)
+    loss_fsdp, ctx_fsdp = run(fsdp=True)
+    np.testing.assert_allclose(loss_dp, loss_fsdp, rtol=1e-4)
+    np.testing.assert_allclose(ctx_dp, ctx_fsdp, rtol=1e-3, atol=1e-6)
+
+
+def test_fsdp_composes_with_tp(tiny_model_cfg):
+    """dp x tp with FSDP on top still matches pure dp."""
+    model, texts = build_denseclip(tiny_model_cfg, CITYSCAPES_CLASSES)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 64, 3)), jnp.asarray(texts)
+    )
+    tcfg = {"epochs": 2, "optimizer": {"lr": 1e-3},
+            "scheduler": {"type": "constant"}}
+    aug = AugmentConfig(crop_size=(32, 64), scale_range=(1.0, 1.0),
+                        hflip_prob=0.0)
+    rng = np.random.RandomState(0)
+    batch = {
+        "image": rng.randint(0, 255, (8, 64, 128, 3)).astype(np.uint8),
+        "seg": rng.randint(0, 19, (8, 64, 128)).astype(np.uint8),
+        "depth": rng.uniform(0.1, 80, (8, 64, 128)).astype(np.float32),
+    }
+
+    def run(mesh, fsdp):
+        fresh = jax.tree.map(jnp.array, variables)
+        state = create_train_state(model, fresh, tcfg, steps_per_epoch=2)
+        if fsdp or "model" in mesh.axis_names:
+            state = shard_train_state(state, mesh, fsdp=fsdp,
+                                      fsdp_min_size=1024)
+        else:
+            state = jax.device_put(
+                state, jax.sharding.NamedSharding(mesh, P())
+            )
+        step = make_train_step(texts, aug)
+        sharded = shard_batch(batch, mesh)
+        new_state, metrics = step(state, sharded, jax.random.PRNGKey(0))
+        return float(metrics["loss_total"])
+
+    loss_dp = run(make_mesh({"data": 8}), fsdp=False)
+    loss_mix = run(make_mesh({"data": 4, "model": 2}), fsdp=True)
+    np.testing.assert_allclose(loss_dp, loss_mix, rtol=1e-4)
+
+
+def test_fsdp_shards_actually_split_and_shrink(tiny_model_cfg):
+    model, texts = build_denseclip(tiny_model_cfg, CITYSCAPES_CLASSES)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 64, 3)), jnp.asarray(texts)
+    )
+    tcfg = {"epochs": 1, "optimizer": {"lr": 1e-3},
+            "scheduler": {"type": "constant"}}
+    state = create_train_state(model, variables, tcfg, steps_per_epoch=1)
+    n_bytes_rep = sum(
+        leaf.size * leaf.dtype.itemsize
+        for leaf in jax.tree.leaves(state.params)
+    )
+    mesh = make_mesh({"data": 8})
+    state = shard_train_state(state, mesh, fsdp=True, fsdp_min_size=1024)
+
+    # The text token embedding [vocab, width] must shard its vocab dim.
+    emb = state.params["text_encoder"]["token_embedding"]["embedding"]
+    assert not emb.sharding.is_fully_replicated
+    assert emb.sharding.shard_shape(emb.shape)[0] == emb.shape[0] // 8
+
+    # Per-device footprint drops well below full replication.
+    dev0 = jax.devices()[0]
+    local = 0
+    for leaf in jax.tree.leaves(state.params):
+        for shard in leaf.addressable_shards:
+            if shard.device == dev0:
+                local += int(np.prod(shard.data.shape)) * leaf.dtype.itemsize
+    assert local < 0.55 * n_bytes_rep, (local, n_bytes_rep)
+
+
+def test_fsdp_opt_state_matches_param_shardings(tiny_model_cfg):
+    model, texts = build_denseclip(tiny_model_cfg, CITYSCAPES_CLASSES)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 64, 3)), jnp.asarray(texts)
+    )
+    tcfg = {"epochs": 1, "optimizer": {"lr": 1e-3},
+            "scheduler": {"type": "constant"}}
+    state = create_train_state(model, variables, tcfg, steps_per_epoch=1)
+    mesh = make_mesh({"data": 8})
+    state = shard_train_state(state, mesh, fsdp=True, fsdp_min_size=1024)
+
+    param_shardings = {}
+
+    def record(path, leaf):
+        key = tuple(str(getattr(p, "key", p)) for p in path)
+        param_shardings[key] = leaf.sharding
+        return leaf
+
+    jax.tree_util.tree_map_with_path(record, state.params)
+
+    checked = 0
+
+    def check(path, leaf):
+        nonlocal checked
+        if not hasattr(leaf, "sharding") or leaf.ndim == 0:
+            return leaf
+        keys = tuple(
+            str(getattr(p, "key", getattr(p, "name", getattr(p, "idx", p))))
+            for p in path
+        )
+        for i in range(len(keys)):
+            want = param_shardings.get(keys[i:])
+            if want is not None:
+                assert leaf.sharding == want, (keys, leaf.sharding, want)
+                checked += 1
+                break
+        return leaf
+
+    jax.tree_util.tree_map_with_path(check, state.opt_state)
+    assert checked > 0
+
+
+def test_resolved_spec_dp_only_mesh(tiny_model_cfg):
+    """On a pure-data mesh without fsdp, every leaf replicates (the old
+    behavior is unchanged)."""
+    model, texts = build_denseclip(tiny_model_cfg, CITYSCAPES_CLASSES)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 64, 3)), jnp.asarray(texts)
+    )
+    mesh = make_mesh({"data": 8})
+
+    def assert_rep(path, leaf):
+        assert resolved_spec(path, leaf, mesh, fsdp=False) == P()
+        return leaf
+
+    jax.tree_util.tree_map_with_path(assert_rep, variables["params"])
