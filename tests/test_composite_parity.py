@@ -413,3 +413,105 @@ def test_import_checkpoint_cli_roundtrip(parity_pair, tmp_path):
     np.testing.assert_allclose(
         np.asarray(want["depth"]), np.asarray(got["depth"]), atol=1e-6
     )
+
+
+def test_composite_gradient_parity(parity_pair):
+    """BACKWARD parity against the reference model: the full training loss
+    (CE ignore-255 + 0.1 x SILog, train_denseclip.py:1086-1096) is
+    differentiated through both composites on transplanted weights, and the
+    torch gradient tree is mapped into our layout through the SAME importer
+    as the weights (every transform it applies — transpose, reshape, qkv
+    concat, pos-embed slice — is value-linear, so it maps gradients
+    exactly).  Pins two things no forward test can:
+
+      * the backward math of every trainable component agrees leaf-by-leaf
+        (backbone, vis/global projections, neck, seg + depth heads);
+      * the reference QUIRK that contexts/gamma/text-tower/context-decoder
+        receive ZERO gradient: its `aux_losses` stay empty
+        (denseclip.py:841) and the list-aliasing bug (denseclip.py:743-759)
+        keeps the score map out of the neck — prompt learning is dead
+        weight as shipped.  Our composite reproduces exactly that under
+        score_concat_index=-1 (the flagship config).
+    """
+    import torch.nn.functional as F
+
+    from denseclip.losses import SILogLoss
+    from denseclip_vit_multimodal_tpu.train.clip_import import (
+        import_reference_denseclip,
+    )
+    from denseclip_vit_multimodal_tpu.train.losses import (
+        cross_entropy_loss,
+        silog_loss,
+    )
+
+    ref, model, variables, texts, img = parity_pair
+    rng = np.random.RandomState(42)
+    seg_gt = rng.randint(0, 19, (2, 32, 48)).astype(np.int64)
+    seg_gt[:, :4] = 255  # exercise the ignore path
+    depth_gt = rng.uniform(0.5, 10.0, (2, 32, 48)).astype(np.float32)
+
+    # --- reference side: eval-mode forward (deterministic), full loss ---
+    ref.zero_grad(set_to_none=True)
+    out = ref(torch.from_numpy(img.transpose(0, 3, 1, 2)), return_loss=False)
+    loss_ref = F.cross_entropy(
+        out["seg"], torch.from_numpy(seg_gt), ignore_index=255
+    ) + 0.1 * SILogLoss(lambd=0.5, eps=1e-6)(
+        out["depth"], torch.from_numpy(depth_gt)[:, None]
+    )
+    loss_ref.backward()
+
+    named = dict(ref.named_parameters())
+    grad_state = {}
+    for k, v in ref.state_dict().items():
+        p = named.get(k)
+        if p is not None and p.grad is not None:
+            grad_state[k] = p.grad.detach().float().numpy()
+        else:
+            grad_state[k] = np.zeros_like(v.detach().float().numpy())
+
+    zero_vars = jax.tree.map(lambda x: np.zeros_like(np.asarray(x)), variables)
+    ref_grads = import_reference_denseclip(grad_state, zero_vars)["params"]
+
+    # --- our side ---
+    extra = {k: v for k, v in variables.items() if k != "params"}
+
+    def loss_fn(params):
+        o = model.apply(
+            {"params": params, **extra},
+            jnp.asarray(img), jnp.asarray(texts), train=False,
+        )
+        l = cross_entropy_loss(
+            o["seg"], jnp.asarray(seg_gt), ignore_index=255
+        )
+        return l + 0.1 * silog_loss(
+            o["depth"], jnp.asarray(depth_gt), None, lambd=0.5, eps=1e-6
+        )
+
+    loss_ours, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    np.testing.assert_allclose(
+        float(loss_ours), float(loss_ref.detach()), rtol=1e-4
+    )
+
+    # The text/prompt branch gets ZERO gradient on BOTH sides (the quirk).
+    for dead in ("contexts", "gamma", "text_encoder", "context_decoder"):
+        for path, leaf in jax.tree_util.tree_leaves_with_path(grads[dead]):
+            assert float(jnp.abs(leaf).max()) == 0.0, (dead, path)
+        for path, leaf in jax.tree_util.tree_leaves_with_path(ref_grads[dead]):
+            assert float(np.abs(leaf).max()) == 0.0, (dead, path)
+
+    # Every live branch agrees leaf-by-leaf.
+    checked = 0
+    for branch in ("backbone", "vis_proj", "global_proj", "neck",
+                   "decode_head", "depth_head"):
+        ours_flat = jax.tree_util.tree_leaves_with_path(grads[branch])
+        ref_flat = dict(jax.tree_util.tree_leaves_with_path(ref_grads[branch]))
+        for path, leaf in ours_flat:
+            want = np.asarray(ref_flat[path])
+            got = np.asarray(leaf)
+            scale = max(float(np.abs(want).max()), 1e-8)
+            np.testing.assert_allclose(
+                got, want, rtol=2e-3, atol=2e-3 * scale,
+                err_msg=f"{branch}{jax.tree_util.keystr(path)}",
+            )
+            checked += 1
+    assert checked > 40, checked

@@ -128,11 +128,15 @@ def main(argv=None):
     # --- stage: forward + losses (no grad) -----------------------------------
     trainable = {k: v for k, v in state.params.items() if k not in frozen}
     frozen_params = {k: v for k, v in state.params.items() if k in frozen}
+    bstats = state.batch_stats
 
-    def loss_fn(trainable_part, aug_b, drop_rng):
-        params = {**trainable_part, **frozen_params}
+    # Frozen/static trees ride as ARGUMENTS, not closures: the remote
+    # compile service rejects HLO payloads with the towers baked in as
+    # constants (HTTP 413; CLAUDE.md environment notes).
+    def loss_fn(trainable_part, frozen_part, stats, aug_b, drop_rng):
+        params = {**trainable_part, **frozen_part}
         out, _ = state.apply_fn(
-            {"params": params, "batch_stats": state.batch_stats},
+            {"params": params, "batch_stats": stats},
             aug_b["image"], texts_j, train=True, gt_hw=crop,
             mutable=["batch_stats"], rngs={"dropout": drop_rng},
         )
@@ -144,11 +148,12 @@ def main(argv=None):
         return total
 
     fwd_fn = jax.jit(loss_fn)
-    report["fwd"] = timeit(fwd_fn, trainable, aug, key)
+    report["fwd"] = timeit(fwd_fn, trainable, frozen_params, bstats, aug, key)
 
     # --- stage: forward + backward -------------------------------------------
     grad_fn = jax.jit(jax.value_and_grad(loss_fn))
-    report["grad"] = timeit(grad_fn, trainable, aug, key)
+    report["grad"] = timeit(
+        grad_fn, trainable, frozen_params, bstats, aug, key)
 
     # --- stage: the shipped full step ----------------------------------------
     step = make_train_step(texts_j, aug_cfg, frozen_modules=frozen,
