@@ -220,3 +220,58 @@ def test_resolved_spec_dp_only_mesh(tiny_model_cfg):
         return leaf
 
     jax.tree_util.tree_map_with_path(assert_rep, variables["params"])
+
+
+def test_fsdp_checkpoint_roundtrip(tiny_model_cfg, tmp_path):
+    """Orbax save/restore under FSDP: a sharded state saves collectively and
+    restores (a) into an FSDP-sharded template with the template's
+    shardings, and (b) into a replicated template — checkpoints are
+    topology-portable in both directions."""
+    from denseclip_vit_multimodal_tpu.train.checkpoint import (
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    model, texts = build_denseclip(tiny_model_cfg, CITYSCAPES_CLASSES)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 64, 3)), jnp.asarray(texts)
+    )
+    tcfg = {"epochs": 1, "optimizer": {"lr": 1e-3},
+            "scheduler": {"type": "constant"}}
+    mesh = make_mesh({"data": 8})
+
+    state = create_train_state(
+        model, jax.tree.map(jnp.array, variables), tcfg, steps_per_epoch=1
+    )
+    state = shard_train_state(state, mesh, fsdp=True, fsdp_min_size=1024)
+    save_checkpoint(str(tmp_path), state, epoch=3, best_metric=0.25)
+
+    # (a) restore into a fresh FSDP-sharded template
+    fresh = create_train_state(
+        model,
+        jax.tree.map(lambda x: jnp.zeros_like(x), variables),
+        tcfg,
+        steps_per_epoch=1,
+    )
+    fresh = shard_train_state(fresh, mesh, fsdp=True, fsdp_min_size=1024)
+    restored, epoch, best = restore_checkpoint(str(tmp_path), fresh)
+    assert epoch == 3 and best == 0.25
+    emb = restored.params["text_encoder"]["token_embedding"]["embedding"]
+    assert not emb.sharding.is_fully_replicated
+    np.testing.assert_array_equal(
+        np.asarray(emb),
+        np.asarray(state.params["text_encoder"]["token_embedding"]["embedding"]),
+    )
+
+    # (b) restore into a replicated template (portability across topologies)
+    rep = create_train_state(
+        model,
+        jax.tree.map(lambda x: jnp.zeros_like(x), variables),
+        tcfg,
+        steps_per_epoch=1,
+    )
+    rep = jax.device_put(rep, jax.sharding.NamedSharding(mesh, P()))
+    restored_rep, _, _ = restore_checkpoint(str(tmp_path), rep)
+    emb_rep = restored_rep.params["text_encoder"]["token_embedding"]["embedding"]
+    assert emb_rep.sharding.is_fully_replicated
+    np.testing.assert_array_equal(np.asarray(emb_rep), np.asarray(emb))
