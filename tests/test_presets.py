@@ -188,3 +188,21 @@ class TestFrozenModulesFromCfg:
         assert frozen_modules_from_cfg(cfg) == (
             "backbone", "neck", "text_encoder",
         )
+
+
+@pytest.mark.parametrize(
+    "preset", sorted(p.name for p in builtin_config_dir().glob("*.yaml"))
+)
+def test_preset_train_crop_divides_patch(preset):
+    """Every ViT preset's TRAIN crop must divide its patch size — the
+    backbone asserts it (models/vit.py:71), so a bad preset crashes
+    tools/train.py at init.  (Caught live: the ViT-L/14 preset inherited
+    the ViT-B 512x1024 crop.)"""
+    cfg = load_config(builtin_config_dir() / preset)
+    bb = cfg.model.get("backbone", {})
+    if str(bb.get("type", "")) != "CLIPVisionTransformer":
+        return
+    patch = int(bb.get("patch_size", 16))
+    ch, cw = (int(x) for x in cfg.get("data", {}).get(
+        "crop_size", [512, 1024]))
+    assert ch % patch == 0 and cw % patch == 0, (preset, (ch, cw), patch)
