@@ -185,6 +185,7 @@ def build_dataset(data_cfg, split: str):
             with_depth=not seg_only and bool(syn_get("with_depth", True)),
             depth_max=float(get("depth_max", 80.0)),
             seed=int(syn_get("seed", 0)) + (0 if split == "train" else 7919),
+            learnable=bool(syn_get("learnable", False)),
         )
     if dtype_name == "CityscapesDepthSegDataset":
         from denseclip_vit_multimodal_tpu.data.cityscapes import (

@@ -26,6 +26,7 @@ class SyntheticDataset:
         seed: int = 0,
         ignore_index: int = 255,
         cache: bool = False,
+        learnable: bool = False,
     ):
         self.length = length
         self.image_size = tuple(image_size)
@@ -34,6 +35,14 @@ class SyntheticDataset:
         self.depth_max = depth_max
         self.seed = seed
         self.ignore_index = ignore_index
+        # learnable=True derives seg/depth DETERMINISTICALLY from the block
+        # colors (class = brightness bucket, depth = red-channel ramp), so
+        # a model can actually fit the mapping and validation accuracy on
+        # held-out samples (different seed per split) measures real
+        # end-to-end learning — the convergence test
+        # (tests/test_convergence.py) and learning-curve demos use it.
+        # Default False keeps the label-independent stream benchmarks use.
+        self.learnable = learnable
         # cache=True memoizes generated samples by index: benchmarks use it
         # to measure the loader MACHINERY (threads/stacking/prefetch/H2D)
         # with the synthetic-generation cost amortized away, the way a real
@@ -68,7 +77,15 @@ class SyntheticDataset:
         # Blocky structure so downscaled labels stay self-consistent.
         bh, bw = max(h // 32, 1), max(w // 32, 1)
         img_small = rng.randint(0, 256, (bh, bw, 3), dtype=np.uint8)
-        seg_small = rng.randint(0, self.num_classes, (bh, bw)).astype(np.uint8)
+        if self.learnable:
+            s = img_small.astype(np.int32).sum(-1)  # 0..765 brightness
+            seg_small = np.minimum(
+                (s * self.num_classes) // 766, self.num_classes - 1
+            ).astype(np.uint8)
+        else:
+            seg_small = rng.randint(0, self.num_classes, (bh, bw)).astype(
+                np.uint8
+            )
         # channel-trailing arrays: broadcast+reshape degenerates to a 3-byte
         # strided copy (34 ms vs repeat's 5.4 ms at 1024x2048, measured)
         image = np.repeat(np.repeat(img_small, 32, axis=0), 32, axis=1)[:h, :w]
@@ -80,9 +97,17 @@ class SyntheticDataset:
         seg[noise < 5] = self.ignore_index
         sample = {"image": image, "seg": seg}
         if self.with_depth:
-            depth_small = rng.uniform(1.0, self.depth_max, (bh, bw)).astype(
-                np.float32
-            )
+            if self.learnable:
+                depth_small = (
+                    1.0
+                    + img_small[..., 0].astype(np.float32)
+                    / 255.0
+                    * (self.depth_max * 0.25)
+                )
+            else:
+                depth_small = rng.uniform(
+                    1.0, self.depth_max, (bh, bw)
+                ).astype(np.float32)
             depth = self._block_upsample(depth_small, 32, h, w)
             holes = np.frombuffer(rng.bytes(h * w), np.uint8).reshape(h, w)
             depth[holes < 26] = 0.0  # ~10% invalid holes
