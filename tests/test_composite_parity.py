@@ -515,3 +515,145 @@ def test_composite_gradient_parity(parity_pair):
             )
             checked += 1
     assert checked > 40, checked
+
+
+def test_multistep_optimizer_trajectory_parity(parity_pair):
+    """N AdamW steps, torch vs ours, on transplanted weights: the LOSS CURVE
+    and the final live-branch parameters must track.  Catches optimizer /
+    scheduler semantic drift (decoupled-wd coupling, Adam bias correction,
+    eps placement, cosine stepping) that single-step gradient parity can't
+    (reference optimizer+scheduler: train_denseclip.py:1056-1083).
+
+    Both sides train exactly the live branches (vis_proj, global_proj, neck,
+    decode_head, depth_head) with identical AdamW hyperparameters and a
+    cosine schedule stepped once per optimizer step; weight decay applies
+    only to ndim>1 weights on both sides (our wd_mask semantics, mirrored
+    into torch param groups).
+    """
+    import copy
+
+    import torch.nn.functional as F
+
+    from denseclip.losses import SILogLoss
+    from denseclip_vit_multimodal_tpu.train.clip_import import (
+        import_reference_denseclip,
+    )
+    from denseclip_vit_multimodal_tpu.train.losses import (
+        cross_entropy_loss,
+        silog_loss,
+    )
+    from denseclip_vit_multimodal_tpu.train.schedules import cosine_per_epoch
+    from denseclip_vit_multimodal_tpu.train.state import build_optimizer
+
+    ref_orig, model, variables, texts, _ = parity_pair
+    ref = copy.deepcopy(ref_orig).eval()
+
+    N = 6
+    LR, WD, BETAS, EPS = 1e-3, 0.01, (0.9, 0.999), 1e-8
+    LIVE = ("vis_proj", "global_proj", "neck", "decode_head", "depth_head")
+
+    rng = np.random.RandomState(7)
+    batches = []
+    for _ in range(N):
+        batches.append((
+            rng.rand(2, 32, 48, 3).astype(np.float32),
+            rng.randint(0, 19, (2, 32, 48)).astype(np.int64),
+            rng.uniform(0.5, 10.0, (2, 32, 48)).astype(np.float32),
+        ))
+    batches[0][1][:, :4] = 255  # ignore pixels in one batch
+
+    # --- torch side ---
+    live_named = [
+        (n, p) for n, p in ref.named_parameters()
+        if n.split(".")[0] in LIVE
+    ]
+    decay = [p for _, p in live_named if p.ndim > 1]
+    no_decay = [p for _, p in live_named if p.ndim <= 1]
+    opt = torch.optim.AdamW(
+        [{"params": decay, "weight_decay": WD},
+         {"params": no_decay, "weight_decay": 0.0}],
+        lr=LR, betas=BETAS, eps=EPS,
+    )
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=N)
+    silog = SILogLoss(lambd=0.5, eps=1e-6)
+    torch_losses = []
+    for img, seg_gt, depth_gt in batches:
+        opt.zero_grad(set_to_none=True)
+        out = ref(torch.from_numpy(img.transpose(0, 3, 1, 2)),
+                  return_loss=False)
+        loss = F.cross_entropy(
+            out["seg"], torch.from_numpy(seg_gt), ignore_index=255
+        ) + 0.1 * silog(out["depth"], torch.from_numpy(depth_gt)[:, None])
+        loss.backward()
+        opt.step()
+        sched.step()
+        torch_losses.append(float(loss.detach()))
+
+    # --- our side: the production optimizer builder, same hyperparameters ---
+    extra = {k: v for k, v in variables.items() if k != "params"}
+    schedule = cosine_per_epoch(LR, steps_per_epoch=1, t_max_epochs=N)
+    frozen = tuple(
+        k for k in variables["params"].keys() if k not in LIVE
+    )
+    tx = build_optimizer(
+        variables["params"], schedule, weight_decay=WD, betas=BETAS,
+        eps=EPS, frozen_modules=frozen,
+    )
+    params = variables["params"]
+    opt_state = tx.init(params)
+
+    def loss_fn(p, img, seg_gt, depth_gt):
+        o = model.apply(
+            {"params": p, **extra},
+            jnp.asarray(img), jnp.asarray(texts), train=False,
+        )
+        l = cross_entropy_loss(o["seg"], jnp.asarray(seg_gt),
+                               ignore_index=255)
+        return l + 0.1 * silog_loss(
+            o["depth"], jnp.asarray(depth_gt), None, lambd=0.5, eps=1e-6
+        )
+
+    import optax
+
+    @jax.jit
+    def step_fn(p, s, img, seg, dep):
+        loss, grads = jax.value_and_grad(loss_fn)(p, img, seg, dep)
+        updates, new_s = tx.update(grads, s, p)
+        return loss, optax.apply_updates(p, updates), new_s
+
+    our_losses = []
+    for img, seg_gt, depth_gt in batches:
+        loss, params, opt_state = step_fn(params, opt_state, img, seg_gt,
+                                          depth_gt)
+        our_losses.append(float(loss))
+
+    # loss curves track step by step
+    np.testing.assert_allclose(our_losses, torch_losses, rtol=2e-3,
+                               err_msg=f"ours={our_losses} torch={torch_losses}")
+    # and the loss actually moved (the trajectory is non-trivial)
+    assert abs(torch_losses[-1] - torch_losses[0]) > 1e-3
+
+    # final parameters agree leaf-by-leaf on every live branch
+    zero_vars = jax.tree.map(lambda x: np.zeros_like(np.asarray(x)),
+                             variables)
+    ref_final = import_reference_denseclip(
+        {k: v.detach().float().numpy() for k, v in ref.state_dict().items()},
+        zero_vars,
+    )["params"]
+    checked = 0
+    for branch in LIVE:
+        ref_flat = dict(
+            jax.tree_util.tree_leaves_with_path(ref_final[branch])
+        )
+        for path, leaf in jax.tree_util.tree_leaves_with_path(
+            params[branch]
+        ):
+            want = np.asarray(ref_flat[path])
+            got = np.asarray(leaf)
+            scale = max(float(np.abs(want).max()), 1e-8)
+            np.testing.assert_allclose(
+                got, want, rtol=5e-3, atol=5e-3 * scale,
+                err_msg=f"{branch}{jax.tree_util.keystr(path)}",
+            )
+            checked += 1
+    assert checked > 20, checked
