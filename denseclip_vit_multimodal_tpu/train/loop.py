@@ -125,6 +125,7 @@ def validate(
     logger: logging.Logger,
     max_batches: Optional[int] = None,
     visualize_to: Optional[str] = None,
+    epoch: Optional[int] = None,
 ) -> Dict[str, float]:
     """Run the eval epoch; returns scalar metrics (reference validate,
     train_denseclip.py:293-686, but device-reduced instead of rank-0).
@@ -233,6 +234,7 @@ def validate(
     if best_sample is not None:
         try:
             from denseclip_vit_multimodal_tpu.utils.visualize import (
+                save_comparison_panel,
                 save_multi_task_panel,
             )
 
@@ -249,6 +251,17 @@ def validate(
                 depth_gt=fetch(best_sample["depth_gt"]),
                 title=f"best batch accuracy {best_batch_acc * 100:.2f}%",
             )
+            # Exact analog of the reference's best-accuracy comparison
+            # figure (train_denseclip.py:846-890): input / seg pred /
+            # seg GT through a max-scaled JET colormap.
+            if best_sample["seg_gt"] is not None:
+                save_comparison_panel(
+                    os.path.join(d, f"comparison_{b}"),
+                    fetch(best_sample["image"], np.uint8),
+                    fetch(best_sample["seg_pred"]),
+                    fetch(best_sample["seg_gt"]),
+                    epoch=epoch,
+                )
         except Exception as e:  # visualization must never kill eval
             logger.warning("best-image visualization failed: %s", e)
     logger.info("validation: %s", {k: round(v, 4) for k, v in metrics.items()})
@@ -547,7 +560,7 @@ def train(cfg, work_dir: str, resume: Optional[str] = None,
                 )
             last_val = validate(
                 state, eval_step, val_loader, mesh, logger,
-                visualize_to=vis_path,
+                visualize_to=vis_path, epoch=epoch,
             )
             if is_main:
                 writer.scalars("val", last_val, epoch)

@@ -63,6 +63,71 @@ def colorize_depth(
     return (rgb * 255).astype(np.uint8)
 
 
+def _colorize_scaled(arr: np.ndarray, cmap: str = "jet") -> np.ndarray:
+    """Max-scale an arbitrary 2-D array to [0, 1] and colorize.
+
+    Matches the reference's `pred * 255 / (pred.max() + 1e-6)` +
+    cv2.COLORMAP_JET chain (train_denseclip.py:861-866) without cv2:
+    values are scaled by the array max (epsilon-guarded), then mapped
+    through a matplotlib colormap.
+    """
+    import matplotlib
+
+    arr = np.asarray(arr, np.float64)
+    norm = np.clip(arr / (arr.max() + 1e-6), 0.0, 1.0)
+    cm = matplotlib.colormaps[cmap]
+    return (cm(norm)[..., :3] * 255).astype(np.uint8)
+
+
+def save_comparison_panel(
+    path: str,
+    image: np.ndarray,  # normalized [H, W, 3] or uint8
+    pred: np.ndarray,  # [H, W] raw values (labels or depth)
+    target: np.ndarray,  # [H, W] raw values
+    epoch: Optional[int] = None,
+    cmap: str = "jet",
+    mean: Sequence[float] = (0.48145466, 0.4578275, 0.40821073),
+    std: Sequence[float] = (0.26862954, 0.26130258, 0.27577711),
+) -> str:
+    """Input / prediction / ground-truth side-by-side comparison figure.
+
+    Re-design of the reference's `visualize_comparison`
+    (train_denseclip.py:846-890): de-normalize the input, max-scale pred
+    and target through a JET colormap, 1x3 grid, suptitle
+    "Validation Epoch N - Best Accuracy Image". Pure host-side; failures
+    must be caught by the caller (the reference logs and continues).
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    if image.dtype != np.uint8:
+        image = denormalize_image(image, mean, std)
+
+    fig, axes = plt.subplots(1, 3, figsize=(18, 6))
+    if epoch is not None:
+        fig.suptitle(
+            f"Validation Epoch {epoch} - Best Accuracy Image", fontsize=16
+        )
+    for ax, (name, img) in zip(
+        axes,
+        [
+            ("Input Image", image),
+            ("Prediction", _colorize_scaled(pred, cmap)),
+            ("Ground Truth", _colorize_scaled(target, cmap)),
+        ],
+    ):
+        ax.imshow(img)
+        ax.set_title(name)
+        ax.axis("off")
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    plt.tight_layout(rect=[0, 0.03, 1, 0.95])
+    fig.savefig(path)
+    plt.close(fig)
+    return path
+
+
 def save_multi_task_panel(
     path: str,
     image: np.ndarray,  # normalized [H, W, 3] or uint8

@@ -64,6 +64,30 @@ def _tiny_cfg(tmp_path, epochs=2):
     })
 
 
+def test_save_comparison_panel_artifact(tmp_path):
+    """Direct artifact test of the visualize_comparison analog
+    (reference train_denseclip.py:846-890): input / max-scaled-JET pred /
+    GT figure saved as a real PNG."""
+    from denseclip_vit_multimodal_tpu.utils.visualize import (
+        save_comparison_panel,
+    )
+
+    rng = np.random.RandomState(0)
+    image = rng.randn(32, 64, 3).astype(np.float32)  # normalized floats
+    pred = rng.randint(0, 19, (32, 64)).astype(np.int32)
+    target = rng.randint(0, 19, (32, 64)).astype(np.int32)
+    path = str(tmp_path / "viz" / "cmp.png")
+    out = save_comparison_panel(path, image, pred, target, epoch=3)
+    assert out == path and os.path.exists(path)
+    with open(path, "rb") as f:
+        assert f.read(8) == b"\x89PNG\r\n\x1a\n"  # real PNG header
+    # all-zero pred must not divide by zero (reference's 1e-6 epsilon)
+    save_comparison_panel(
+        str(tmp_path / "viz" / "zero.png"), image,
+        np.zeros((32, 64)), np.zeros((32, 64)),
+    )
+
+
 def test_train_validate_checkpoint_resume(tmp_path):
     work = str(tmp_path / "run1")
     cfg = _tiny_cfg(tmp_path, epochs=2)
@@ -82,6 +106,9 @@ def test_train_validate_checkpoint_resume(tmp_path):
     # 597-609 best-image tracking + visualize_comparison :846-890)
     assert os.path.exists(
         os.path.join(work, "visualizations", "best_epoch_0.png")
+    )
+    assert os.path.exists(
+        os.path.join(work, "visualizations", "comparison_epoch_0.png")
     )
 
     # resume: continue to epoch 3 from the saved state
