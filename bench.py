@@ -28,6 +28,15 @@ import time
 import numpy as np
 
 REFERENCE_GPU_IPS = 0.55  # see module docstring
+# Published per-chip bf16 peak (dense) by device_kind, TFLOP/s.
+PEAK_BF16_TFLOPS = {
+    "TPU v5 lite0": 197.0,  # v5e (axon relay reports this kind string)
+    "TPU v5e": 197.0,
+    "TPU v4": 275.0,
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,
+    "default": 197.0,
+}
 IMAGE_HW = (1024, 2048)
 CROP = (640, 640)
 STRIDE = (426, 426)
@@ -127,6 +136,41 @@ def main():
         dt = min(dt, time.perf_counter() - t0)
 
     ips = BATCH * ITERS / dt
+
+    # MFU anchor: model FLOPs per frame = XLA cost analysis of the
+    # single-frame program + the analytic correction for its two blind
+    # spots (the nn.scan'd backbone body is charged once, the Pallas
+    # attention custom call zero — utils/flops.py).  Divided by measured
+    # frame time and the chip's bf16 peak, this makes "at the floor" an
+    # absolute number instead of a round-over-round delta.
+    extra = {}
+    try:
+        from denseclip_vit_multimodal_tpu.infer.slide import slide_grid
+        from denseclip_vit_multimodal_tpu.utils.flops import (
+            vit_backbone_flop_correction,
+        )
+
+        frame_fn = jax.jit(lambda v, im, ct: one_frame(v, im, ct))
+        cost = frame_fn.lower(variables, pre, cached_text).compile()
+        flops = float(cost.cost_analysis().get("flops", float("nan")))
+        bb = cfg.model.backbone
+        tokens = (CROP[0] // bb.patch_size) * (CROP[1] // bb.patch_size) + 1
+        n_win = BATCH * len(slide_grid(IMAGE_HW, CROP, STRIDE))
+        flops += vit_backbone_flop_correction(
+            bb.layers, bb.width, n_win, tokens,
+            attn_counted=jax.devices()[0].platform != "tpu",
+        )
+        peak = PEAK_BF16_TFLOPS.get(
+            jax.devices()[0].device_kind, PEAK_BF16_TFLOPS["default"]
+        )
+        extra = {
+            "model_tflops_per_image": round(flops / 1e12, 3),
+            "mfu_pct": round(100.0 * flops * ips / BATCH / (peak * 1e12), 2),
+            "peak_bf16_tflops": peak,
+        }
+    except Exception:
+        pass  # cost analysis is advisory; never break the bench line
+
     print(
         json.dumps(
             {
@@ -134,6 +178,7 @@ def main():
                 "value": round(ips, 4),
                 "unit": "images/sec",
                 "vs_baseline": round(ips / REFERENCE_GPU_IPS, 3),
+                **extra,
             }
         )
     )

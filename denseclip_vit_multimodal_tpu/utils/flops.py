@@ -1,0 +1,63 @@
+"""Forward-FLOP accounting that XLA's cost analysis cannot see.
+
+`compiled.cost_analysis()["flops"]` (the engine behind `tools/get_flops.py`,
+replacing the reference's broken fvcore tool, reference:
+segmentation/get_flops.py) has two structural blind spots on this framework:
+
+1. **Scanned layers count ONCE.**  The ViT backbone stacks its residual
+   blocks with `nn.scan` (models/layers.py::Transformer), which lowers to a
+   single `lax.scan` body — XLA's cost model charges the body once, not
+   `length` times (verified on-device: a 4-iteration `fori_loop` over a
+   1024^3 matmul reports 2.15 GF, not 8.6 GF).
+2. **Pallas kernels count ZERO.**  The attention kernel is a Mosaic custom
+   call; the HLO cost model assigns custom calls no flops.
+
+`vit_backbone_flop_correction` returns the analytic make-up term for a
+ViT backbone so MFU numbers (bench.py) and FLOP reports are anchored to the
+work the chip actually does.  Conventions: flops = 2 x MACs, REAL (unpadded)
+token counts, attention scored as the two N^2 matmuls (softmax excluded,
+standard MFU practice).  Residual small omissions — the scanned text tower
+(~0.5 GF, image-independent and cached in serving) and the 3-layer context
+decoder body repeat (~2 GF) — are < 0.1% of a slide frame and documented
+here rather than modeled.
+"""
+
+from __future__ import annotations
+
+
+def vit_layer_dense_flops(tokens_total: int, width: int) -> int:
+    """Dense-matmul flops of ONE residual block over `tokens_total` tokens.
+
+    qkv projection 6TW^2 + out projection 2TW^2 + MLP (4x expansion,
+    two matmuls) 16TW^2 = 24TW^2.
+    """
+    return 24 * tokens_total * width * width
+
+
+def vit_layer_attn_flops(
+    batch: int, tokens_per_seq: int, width: int
+) -> int:
+    """Attention-matmul flops of ONE block: QK^T and PV, 4BN^2W total."""
+    return 4 * batch * tokens_per_seq * tokens_per_seq * width
+
+
+def vit_backbone_flop_correction(
+    layers: int,
+    width: int,
+    batch: int,
+    tokens_per_seq: int,
+    attn_counted: bool = False,
+) -> int:
+    """Add this to `cost_analysis()['flops']` for a scanned ViT backbone.
+
+    The scan body is already counted once, so the dense term repeats
+    (layers - 1) times.  With Pallas attention (`attn_counted=False`, the
+    TPU path) the attention term was counted zero times and repeats
+    `layers` times; with XLA attention (CPU/interpret) the body's single
+    count included it, so it repeats (layers - 1) times.
+    """
+    t = batch * tokens_per_seq
+    dense = vit_layer_dense_flops(t, width)
+    attn = vit_layer_attn_flops(batch, tokens_per_seq, width)
+    n_attn = layers - 1 if attn_counted else layers
+    return (layers - 1) * dense + n_attn * attn

@@ -51,9 +51,30 @@ def main(argv=None):
     flops = cost.get("flops", float("nan"))
     bytes_ = cost.get("bytes accessed", float("nan"))
 
+    # Cost analysis charges the nn.scan'd ViT backbone body ONCE and the
+    # Pallas attention custom call ZERO — add the analytic make-up term
+    # (see utils/flops.py for the derivation and verification).
+    correction = 0.0
+    bb = cfg.model.backbone
+    if str(bb.get("type", "")).endswith("VisionTransformer"):
+        from denseclip_vit_multimodal_tpu.utils.flops import (
+            vit_backbone_flop_correction,
+        )
+
+        tokens = (h // bb.patch_size) * (w // bb.patch_size) + 1
+        correction = vit_backbone_flop_correction(
+            bb.layers, bb.width, args.batch, tokens,
+            attn_counted=jax.devices()[0].platform != "tpu",
+        )
+
     print(f"input shape : {args.batch}x{h}x{w}x3")
     print(f"parameters  : {n_params / 1e6:.2f} M")
-    print(f"forward flops: {flops / 1e9:.2f} GFLOPs")
+    print(f"forward flops: {(flops + correction) / 1e9:.2f} GFLOPs")
+    if correction:
+        print(
+            f"  (= {flops / 1e9:.2f} XLA-counted + {correction / 1e9:.2f} "
+            "scanned-backbone/Pallas correction)"
+        )
     print(f"hbm bytes    : {bytes_ / 1e9:.3f} GB")
 
 
