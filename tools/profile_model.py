@@ -6,8 +6,8 @@ is broken).  This tool times the forward / train step on device, reports the
 compiler's cost analysis, and can capture a jax.profiler trace viewable in
 TensorBoard/Perfetto.
 
-    python tools/profile.py CONFIG --mode forward --shape 640 640 --batch 10
-    python tools/profile.py CONFIG --mode train --trace-dir /tmp/trace
+    python tools/profile_model.py CONFIG --mode forward --shape 640 640 --batch 10
+    python tools/profile_model.py CONFIG --mode train --trace-dir /tmp/trace
 """
 
 from __future__ import annotations
