@@ -305,7 +305,7 @@ def build_denseclip(
     class_names: Sequence[str],
     dtype: Dtype = jnp.float32,
     attn_impl: str = "auto",
-    remat: bool = False,
+    remat: Any = False,
 ) -> Tuple[DenseCLIP, np.ndarray]:
     """Build a DenseCLIP module + tokenized class-name buffer from a config.
 

@@ -34,6 +34,7 @@ from typing import Any, Callable, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 Dtype = Any
 
@@ -357,6 +358,11 @@ class MultiHeadAttention(nn.Module):
 
         if kv is None:
             qkv = dense(3 * dim, use_bias=self.use_qkv_bias, name="qkv")(x)
+            # Offload seam for selective remat (`tpu.remat: attn_qkv`): the
+            # Pallas attention backward's residual is this projection; saving
+            # it elides the LN + qkv-matmul recompute in the bwd pass.  A
+            # no-op unless a save_only_these_names policy is active.
+            qkv = checkpoint_name(qkv, "qkv_proj")
             if not self.causal and self._qkv_kernel_applicable(qkv, dim):
                 # Fast path: attention straight off the fused projection —
                 # no head split / transpose (ops/mha_kernel.py).  The int8
@@ -473,12 +479,49 @@ class ResidualAttentionBlock(nn.Module):
                 LayerNorm(name="ln_1")(x).astype(self.dtype),
                 valid_len=valid_len,
             )
+        # Selective-remat seam (`tpu.remat: attn`): saving the attention
+        # output elides the forward attention kernel from the backward
+        # pass's recompute — the single most expensive recomputed op.
+        attn_out = checkpoint_name(attn_out, "attn_out")
         x = x + drop_path(attn_out, drop_path_rate, deterministic, rng1)
         mlp_out = MLP(dtype=self.dtype, name="mlp")(
             LayerNorm(name="ln_2")(x).astype(self.dtype)
         )
         x = x + drop_path(mlp_out, drop_path_rate, deterministic, rng2)
         return x
+
+
+def resolve_remat_policy(remat):
+    """Map the `tpu.remat` config value to (active, jax.checkpoint policy).
+
+    - false            -> no remat (save every residual)
+    - true / "full"    -> blanket remat (recompute the whole block)
+    - "attn"           -> save only the attention outputs: the bwd replay
+                          skips the forward attention kernel — the single
+                          most expensive recomputed op — for ~N*W bf16 per
+                          layer of memory (ViT-L b8 @ 2593 tokens: 42 MB)
+    - "attn_qkv"       -> additionally save the qkv projections (the Pallas
+                          backward's residual): elides the LN+qkv-matmul
+                          recompute too, for 3x the activation memory
+    - "dots"           -> jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                          (save every weight-matmul output; recompute only
+                          elementwise chains)
+    """
+    if not remat:
+        return False, None
+    if remat is True or remat == "full":
+        return True, None
+    policies = jax.checkpoint_policies
+    if remat == "attn":
+        return True, policies.save_only_these_names("attn_out")
+    if remat == "attn_qkv":
+        return True, policies.save_only_these_names("attn_out", "qkv_proj")
+    if remat == "dots":
+        return True, policies.dots_with_no_batch_dims_saveable
+    raise ValueError(
+        f"Unsupported remat mode {remat!r}: expected false, true/'full', "
+        "'attn', 'attn_qkv', or 'dots'"
+    )
 
 
 class Transformer(nn.Module):
@@ -498,7 +541,7 @@ class Transformer(nn.Module):
     drop_path_rate: float = 0.0
     attn_impl: str = ATTN_AUTO
     dtype: Dtype = jnp.float32
-    remat: bool = False
+    remat: Any = False  # false | true/"full" | "attn" | "attn_qkv" | "dots"
 
     @nn.compact
     def __call__(
@@ -521,8 +564,11 @@ class Transformer(nn.Module):
             @nn.compact
             def __call__(self, carry, rate):
                 block_cls = ResidualAttentionBlock
-                if remat:
-                    block_cls = nn.remat(block_cls, static_argnums=(3, 4))
+                remat_on, remat_policy = resolve_remat_policy(remat)
+                if remat_on:
+                    block_cls = nn.remat(
+                        block_cls, static_argnums=(3, 4), policy=remat_policy
+                    )
                 y = block_cls(
                     num_heads=num_heads,
                     causal=causal,
@@ -610,8 +656,9 @@ class Transformer(nn.Module):
                             rngs=rngs,
                         )
 
-                    if remat:
-                        fn = jax.checkpoint(fn)
+                    remat_on, remat_policy = resolve_remat_policy(remat)
+                    if remat_on:
+                        fn = jax.checkpoint(fn, policy=remat_policy)
                     return fn(p, h)
 
                 aux = rates if keys is None else (rates, keys)

@@ -54,7 +54,7 @@ class CLIPVisionTransformer(nn.Module):
     clip_proj_dim: int = 512
     attn_impl: str = ATTN_AUTO
     dtype: Dtype = jnp.float32
-    remat: bool = False
+    remat: Any = False  # false | true/"full" | "attn" | "attn_qkv" | "dots"
     pad_sequence_to_lanes: bool = True  # pad-once + masked attention
 
     @property

@@ -386,7 +386,7 @@ def train(cfg, work_dir: str, resume: Optional[str] = None,
         class_names,
         dtype=compute_dtype,
         attn_impl=str(tpu_cfg.get("attn_impl", "auto")),
-        remat=bool(tpu_cfg.get("remat", False)),
+        remat=tpu_cfg.get("remat", False),
     )
     aug_cfg = augment_config_from_data_cfg(data_cfg, train=True)
     ch, cw = aug_cfg.crop_size

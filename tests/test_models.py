@@ -265,3 +265,43 @@ def test_fpn_topdown_nearest_matches_torch_convention_on_odd_dims():
         mode="nearest",
     ).permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_remat_modes_gradient_equality():
+    """Every `tpu.remat` mode must change memory/time only — gradients are
+    bit-comparable to the no-remat baseline (selective policies save a
+    subset of residuals and recompute the rest; see
+    models/layers.py::resolve_remat_policy)."""
+    from denseclip_vit_multimodal_tpu.models.layers import (
+        Transformer,
+        resolve_remat_policy,
+    )
+
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(2, 17, 32).astype(np.float32)
+    )
+
+    def grads_for(remat):
+        model = Transformer(width=32, layers=2, heads=2, remat=remat)
+        variables = model.init(jax.random.PRNGKey(0), x)
+
+        def loss(v):
+            final, taps = model.apply(v, x)
+            return jnp.sum(final**2) + jnp.sum(taps[0] ** 2)
+
+        return variables, jax.grad(loss)(variables)
+
+    base_vars, base = grads_for(False)
+    for mode in (True, "full", "attn", "attn_qkv", "dots"):
+        v, g = grads_for(mode)
+        # same init -> same params; remat must not perturb grads
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5
+            ),
+            base,
+            g,
+        )
+
+    with pytest.raises(ValueError, match="Unsupported remat mode"):
+        resolve_remat_policy("bogus")

@@ -71,7 +71,7 @@ def main(argv=None):
     model, texts = build_denseclip(
         cfg.model, class_names, dtype=dtype,
         attn_impl=str(tpu_cfg.get("attn_impl", "auto")),
-        remat=bool(tpu_cfg.get("remat", False)),
+        remat=tpu_cfg.get("remat", False),
     )
     texts_j = jnp.asarray(texts)
     aug_cfg = augment_config_from_data_cfg(cfg.get("data", {}), train=True)
