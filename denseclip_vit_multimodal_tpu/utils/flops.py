@@ -24,6 +24,23 @@ here rather than modeled.
 
 from __future__ import annotations
 
+# Published per-chip bf16 peak (dense) by device_kind, TFLOP/s.
+PEAK_BF16_TFLOPS = {
+    "TPU v5 lite0": 197.0,  # v5e (axon relay reports this kind string)
+    "TPU v5e": 197.0,
+    "TPU v4": 275.0,
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,
+    "default": 197.0,
+}
+
+
+def device_peak_bf16_tflops(device) -> float:
+    """Dense bf16 peak of `device` (a jax.Device), TFLOP/s."""
+    return PEAK_BF16_TFLOPS.get(
+        getattr(device, "device_kind", "default"), PEAK_BF16_TFLOPS["default"]
+    )
+
 
 def vit_layer_dense_flops(tokens_total: int, width: int) -> int:
     """Dense-matmul flops of ONE residual block over `tokens_total` tokens.

@@ -40,6 +40,23 @@ def _global_batch():
     }
 
 
+def _sync(name: str, timeout_ms: int = 600_000) -> None:
+    """Align ranks at a coordination-service barrier before the first Gloo
+    collective.  Gloo's context init has a hard ~30 s key-value window; on
+    a contended 1-CPU host the two workers' train-step COMPILES skew by
+    minutes, so the first rank to reach execution times out waiting for
+    the other ("GetKeyValue() timed out", observed when the full suite
+    runs concurrently).  The coordination-service barrier rides the
+    already-open coordinator TCP connection (no Gloo) and takes a generous
+    timeout — compile first, sync here, then execute.  No-op when
+    single-process."""
+    from jax._src import distributed
+
+    client = distributed.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_ms)
+
+
 def main() -> None:
     # MUST run before anything touches the jax backend (mesh.py:43-47).
     from denseclip_vit_multimodal_tpu.parallel.mesh import (
@@ -75,6 +92,7 @@ def main() -> None:
     state = create_train_state(model, variables, cfg.get("training", {}), 10)
     # multi-process: exercises the committed-array -> host -> global
     # device_put path (mesh.py::replicate)
+    _sync("mplive_replicate")
     state = replicate(state, mesh)
 
     lb = local_batch_size(GLOBAL_BATCH, mesh)
@@ -88,7 +106,10 @@ def main() -> None:
 
     aug_cfg = AugmentConfig(crop_size=(32, 64), scale_range=(0.5, 2.0))
     train_step = make_train_step(texts, aug_cfg, grad_accum_steps=1)
-    state, metrics = train_step(state, batch, jax.random.PRNGKey(0))
+    # AOT-compile, align ranks, THEN execute (see _sync).
+    compiled = train_step.lower(state, batch, jax.random.PRNGKey(0)).compile()
+    _sync("mplive_dp_step")
+    state, metrics = compiled(state, batch, jax.random.PRNGKey(0))
     loss = float(metrics["loss_total"])
     assert np.isfinite(loss), loss
 
@@ -155,7 +176,13 @@ def main() -> None:
     batch_pp = shard_batch(_global_batch(), mesh_pp, process_local=False)
     with activate_pipeline(mesh_pp):
         step_pp = make_train_step(texts, aug_cfg, grad_accum_steps=1)
-        state_pp, metrics_pp = step_pp(state_pp, batch_pp, jax.random.PRNGKey(0))
+        compiled_pp = step_pp.lower(
+            state_pp, batch_pp, jax.random.PRNGKey(0)
+        ).compile()
+        _sync("mplive_pp_step")
+        state_pp, metrics_pp = compiled_pp(
+            state_pp, batch_pp, jax.random.PRNGKey(0)
+        )
     loss_pp = float(metrics_pp["loss_total"])
     assert np.isfinite(loss_pp), loss_pp
     print(f"MPLIVE_PP rank={rank} nproc={nproc} loss={loss_pp!r}", flush=True)

@@ -102,9 +102,11 @@ def test_resolve_test_protocol_defaults_and_overrides():
     )
     assert crop == [644, 644] and stride == [426, 426] and wb == 0
 
-    # ViT-B flagship: reference crop/stride + the wb-20 execution default
+    # ViT-B flagship carries the pad-exact serving protocol (crop 624 =
+    # 39x39+1 = 1522 tokens -> kernel pad 1536; same 2x5 window grid as
+    # the reference's 640, +12.8% measured) + the wb-20 execution default
     cfg_b = load_config("configs/denseclip_vitb16_cityscapes_multitask.yaml")
-    assert resolve_test_protocol(cfg_b) == ([640, 640], [426, 426], 20)
+    assert resolve_test_protocol(cfg_b) == ([624, 624], [426, 426], 20)
 
 
 def test_resolve_test_protocol_accepts_mmseg_crop_size_spelling():

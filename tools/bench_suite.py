@@ -162,6 +162,35 @@ def main(argv=None):
             one_frame, (variables, img, cached_text), args.iters)
         emit(f"slide_1024x2048_{task}", 1.0 / dt, "images/sec")
 
+        # MFU anchor for the headline workload (ViT backbones only: the
+        # flop correction models the nn.scan + Pallas blind spots of that
+        # architecture — utils/flops.py).  Advisory: never break the run.
+        try:
+            from denseclip_vit_multimodal_tpu.infer.slide import slide_grid
+            from denseclip_vit_multimodal_tpu.utils.flops import (
+                device_peak_bf16_tflops,
+                vit_backbone_flop_correction,
+            )
+
+            bb = cfg.model.backbone
+            if bb.get("type") == "CLIPVisionTransformer":
+                cost = jax.jit(one_frame).lower(
+                    variables, img, cached_text).compile()
+                flops = float(
+                    cost.cost_analysis().get("flops", float("nan")))
+                tokens = (crop[0] // bb.patch_size) * (
+                    crop[1] // bb.patch_size) + 1
+                n_win = len(slide_grid((1024, 2048), crop, stride))
+                flops += vit_backbone_flop_correction(
+                    bb.layers, bb.width, n_win, tokens,
+                    attn_counted=jax.devices()[0].platform != "tpu",
+                )
+                peak = device_peak_bf16_tflops(jax.devices()[0])
+                emit(f"slide_1024x2048_{task}_mfu",
+                     100.0 * flops / dt / (peak * 1e12), "percent")
+        except Exception:
+            pass
+
     if 7 in args.workloads:
         # Batched slide: 4 frames = 40 windows per backbone launch — the
         # serving-throughput shape (amortizes the per-step text encode,
