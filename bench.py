@@ -27,7 +27,10 @@ over ITERS slide-inferences with a carry-dependent input perturbation (which
 serializes iterations and defeats loop-invariant hoisting) — and fetches one
 scalar.  Wall time divided by ITERS is then pure device throughput.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"value_reference_protocol", "crop_shipped", "crop_reference"} plus, when
+cost analysis is available, {"model_tflops_per_image", "mfu_pct",
+"peak_bf16_tflops"}.
 """
 
 from __future__ import annotations
@@ -170,20 +173,19 @@ def main():
     try:
         from denseclip_vit_multimodal_tpu.infer.slide import slide_grid
         from denseclip_vit_multimodal_tpu.utils.flops import (
+            corrected_program_flops,
             device_peak_bf16_tflops,
-            vit_backbone_flop_correction,
         )
 
         crop = CROP_SHIPPED
         frame_fn = jax.jit(one_frame_fn(crop))
-        cost = frame_fn.lower(variables, pre, cached_text).compile()
-        flops = float(cost.cost_analysis().get("flops", float("nan")))
         bb = cfg.model.backbone
         tokens = (crop[0] // bb.patch_size) * (crop[1] // bb.patch_size) + 1
         n_win = BATCH * len(slide_grid(IMAGE_HW, crop, STRIDE))
-        flops += vit_backbone_flop_correction(
-            bb.layers, bb.width, n_win, tokens,
-            attn_counted=jax.devices()[0].platform != "tpu",
+        flops = corrected_program_flops(
+            frame_fn.lower(variables, pre, cached_text).compile(),
+            bb, n_win, tokens,
+            attn_impl=cfg.get("tpu", {}).get("attn_impl", "auto"),
         )
         peak = device_peak_bf16_tflops(jax.devices()[0])
         extra = {

@@ -58,6 +58,81 @@ def vit_layer_attn_flops(
     return 4 * batch * tokens_per_seq * tokens_per_seq * width
 
 
+def attention_counted_by_cost_analysis(
+    attn_impl: str,
+    tokens_per_seq: int,
+    num_heads: int,
+    head_dim: int,
+) -> bool:
+    """Whether the backbone's attention executes as plain XLA einsums
+    (counted ONCE in the scan body by `cost_analysis`) or as a Pallas
+    custom call (counted ZERO).
+
+    Mirrors the model's dispatch (models/layers.py): the fused-qkv
+    one-shot/int8 kernel when `_qkv_kernel_applicable`, else
+    `attention_core` -> bundled flash when `flash_supported`, else XLA.
+    Keying this on the actual dispatch instead of the device platform
+    matters: `tpu.attn_impl: xla`/`ring` (shard_map'd XLA einsums) and
+    token counts outside the kernels' ranges run XLA attention ON TPU,
+    and charging the Pallas make-up term there would overstate FLOPs/MFU
+    by one layer of attention (~2% at the slide shape, ~5% at 8k-token
+    whole frames).  `tokens_per_seq` is the model-visible (padded window)
+    length; real counts land in the same regime for every shipped shape.
+    """
+    from denseclip_vit_multimodal_tpu.ops.attention import (
+        _FLASH_MIN_SEQ,
+        _ONESHOT_MAX_SEQ,
+        _on_tpu,
+    )
+    from denseclip_vit_multimodal_tpu.ops.mha_kernel import qkv_supported
+
+    if attn_impl in ("xla", "ring") or not _on_tpu():
+        return True
+    n = tokens_per_seq
+    if attn_impl == "auto":
+        oneshot = _FLASH_MIN_SEQ <= n <= _ONESHOT_MAX_SEQ
+    else:  # explicit flash / int8
+        oneshot = n <= _ONESHOT_MAX_SEQ
+    # qkv_supported takes the FULL model dim (it derives head_dim itself)
+    if oneshot and qkv_supported(num_heads, num_heads * head_dim):
+        return False
+    # attention_core fallback: bundled blockwise flash kernel vs XLA
+    return not (n >= _FLASH_MIN_SEQ and head_dim in (64, 128, 256))
+
+
+def corrected_program_flops(
+    compiled,
+    backbone_cfg,
+    batch: int,
+    tokens_per_seq: int,
+    attn_impl: str = "auto",
+) -> float:
+    """Total forward flops of a compiled program: XLA cost analysis plus
+    the scanned-ViT / Pallas make-up term (module docstring).
+
+    The ONE accounting used by bench.py, tools/bench_suite.py and
+    tools/get_flops.py.  `backbone_cfg` is the model's backbone config
+    mapping; non-ViT backbones (no scan, no Pallas attention) return the
+    raw XLA count.  `batch` is the total sequences per program execution
+    (e.g. slide windows per frame); `tokens_per_seq` the per-window token
+    count.  `attn_impl` is the config's `tpu.attn_impl`.
+    """
+    cost = compiled.cost_analysis()
+    cost = cost[0] if isinstance(cost, (list, tuple)) else (cost or {})
+    flops = float(cost.get("flops", float("nan")))
+    if not str(backbone_cfg.get("type", "")).endswith("VisionTransformer"):
+        return flops
+    layers = int(backbone_cfg.get("layers"))
+    width = int(backbone_cfg.get("width"))
+    heads = int(backbone_cfg.get("heads"))
+    counted = attention_counted_by_cost_analysis(
+        attn_impl, tokens_per_seq, heads, width // heads
+    )
+    return flops + vit_backbone_flop_correction(
+        layers, width, batch, tokens_per_seq, attn_counted=counted
+    )
+
+
 def vit_backbone_flop_correction(
     layers: int,
     width: int,

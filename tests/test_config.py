@@ -108,6 +108,14 @@ def test_resolve_test_protocol_defaults_and_overrides():
     cfg_b = load_config("configs/denseclip_vitb16_cityscapes_multitask.yaml")
     assert resolve_test_protocol(cfg_b) == ([624, 624], [426, 426], 20)
 
+    # The heritage 640 preset IS the reference protocol and must stay 640:
+    # it _base_-includes the flagship, whose native `crop: [624, 624]` the
+    # deep-merge keeps (and `crop` beats the mmseg `crop_size` spelling),
+    # so the preset must pin `crop` explicitly — regression for the silent
+    # 624 inheritance found in round-4 review.
+    cfg_h = load_config("configs/denseclip_vitb16_640x640_80k.yaml")
+    assert resolve_test_protocol(cfg_h)[0] == [640, 640]
+
 
 def test_resolve_test_protocol_accepts_mmseg_crop_size_spelling():
     from denseclip_vit_multimodal_tpu.core.config import resolve_test_protocol

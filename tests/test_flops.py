@@ -72,3 +72,37 @@ def test_corrected_total_scales_with_depth():
             layers, width, batch, n, attn_counted=True
         )
     assert abs(totals[4] / totals[2] - 2.0) < 1e-9
+
+
+def test_attention_counted_mirrors_dispatch(monkeypatch):
+    """attention_counted_by_cost_analysis must key on the ACTUAL attention
+    dispatch (models/layers.py), not the device platform: xla/ring impls
+    and out-of-range token counts run XLA attention ON TPU, where the
+    Pallas make-up term would overstate FLOPs by one layer of attention
+    (round-4 review finding)."""
+    from denseclip_vit_multimodal_tpu.ops import attention as attn_mod
+    from denseclip_vit_multimodal_tpu.utils.flops import (
+        attention_counted_by_cost_analysis as counted,
+    )
+
+    # Off-TPU every path lowers to XLA einsums -> counted.
+    monkeypatch.setattr(attn_mod, "_on_tpu", lambda: False)
+    assert counted("auto", 1522, 12, 64)
+
+    # Pretend-TPU: mirror the dispatch table.
+    monkeypatch.setattr(attn_mod, "_on_tpu", lambda: True)
+    # explicit XLA / ring (shard_map'd einsums) -> counted even on TPU
+    assert counted("xla", 1522, 12, 64)
+    assert counted("ring", 1522, 12, 64)
+    # the ViT-B slide window (1522 tokens, 12 heads, d=64): one-shot
+    # Pallas kernel -> NOT counted
+    assert not counted("auto", 1522, 12, 64)
+    # whole-frame 8193 tokens: within the one-shot range (8448) -> Pallas
+    assert not counted("auto", 8193, 12, 64)
+    # beyond the one-shot range under auto: bundled flash (still Pallas,
+    # d=64 supported, n >= flash min) -> NOT counted
+    assert not counted("auto", 9000, 12, 64)
+    # tiny sequences under auto (below the flash minimum): XLA -> counted
+    assert counted("auto", 197, 12, 64)
+    # unsupported head_dim falls through every Pallas path -> counted
+    assert counted("auto", 1522, 12, 48)

@@ -168,22 +168,20 @@ def main(argv=None):
         try:
             from denseclip_vit_multimodal_tpu.infer.slide import slide_grid
             from denseclip_vit_multimodal_tpu.utils.flops import (
+                corrected_program_flops,
                 device_peak_bf16_tflops,
-                vit_backbone_flop_correction,
             )
 
             bb = cfg.model.backbone
-            if bb.get("type") == "CLIPVisionTransformer":
-                cost = jax.jit(one_frame).lower(
-                    variables, img, cached_text).compile()
-                flops = float(
-                    cost.cost_analysis().get("flops", float("nan")))
+            if str(bb.get("type", "")).endswith("VisionTransformer"):
                 tokens = (crop[0] // bb.patch_size) * (
                     crop[1] // bb.patch_size) + 1
                 n_win = len(slide_grid((1024, 2048), crop, stride))
-                flops += vit_backbone_flop_correction(
-                    bb.layers, bb.width, n_win, tokens,
-                    attn_counted=jax.devices()[0].platform != "tpu",
+                flops = corrected_program_flops(
+                    jax.jit(one_frame).lower(
+                        variables, img, cached_text).compile(),
+                    bb, n_win, tokens,
+                    attn_impl=attn_impl,
                 )
                 peak = device_peak_bf16_tflops(jax.devices()[0])
                 emit(f"slide_1024x2048_{task}_mfu",

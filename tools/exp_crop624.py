@@ -14,6 +14,7 @@ Measures slide throughput interleaved A(640)/B(624)/A/B in one session.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -21,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from denseclip_vit_multimodal_tpu.core.config import load_config  # noqa: E402
 from denseclip_vit_multimodal_tpu.data.augment import (  # noqa: E402

@@ -24,6 +24,7 @@ A = qkv-direct kernel + XLA out matmul, B = fused epilogue kernel.
 from __future__ import annotations
 
 import functools
+import os
 import sys
 import time
 
@@ -31,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from denseclip_vit_multimodal_tpu.ops.mha_kernel import (  # noqa: E402
     _LANE,

@@ -52,20 +52,23 @@ def main(argv=None):
     bytes_ = cost.get("bytes accessed", float("nan"))
 
     # Cost analysis charges the nn.scan'd ViT backbone body ONCE and the
-    # Pallas attention custom call ZERO — add the analytic make-up term
-    # (see utils/flops.py for the derivation and verification).
-    correction = 0.0
-    bb = cfg.model.backbone
-    if str(bb.get("type", "")).endswith("VisionTransformer"):
-        from denseclip_vit_multimodal_tpu.utils.flops import (
-            vit_backbone_flop_correction,
-        )
+    # Pallas attention custom call ZERO — corrected_program_flops adds the
+    # analytic make-up term (see utils/flops.py for the derivation), keyed
+    # on the ACTUAL attention dispatch for this impl + token count.
+    from denseclip_vit_multimodal_tpu.utils.flops import (
+        corrected_program_flops,
+    )
 
-        tokens = (h // bb.patch_size) * (w // bb.patch_size) + 1
-        correction = vit_backbone_flop_correction(
-            bb.layers, bb.width, args.batch, tokens,
-            attn_counted=jax.devices()[0].platform != "tpu",
-        )
+    bb = cfg.model.backbone
+    tokens = (
+        (h // bb.patch_size) * (w // bb.patch_size) + 1
+        if str(bb.get("type", "")).endswith("VisionTransformer") else 0
+    )
+    total = corrected_program_flops(
+        compiled, bb, args.batch, tokens,
+        attn_impl=str((cfg.get("tpu", {}) or {}).get("attn_impl", "auto")),
+    )
+    correction = total - flops
 
     print(f"input shape : {args.batch}x{h}x{w}x3")
     print(f"parameters  : {n_params / 1e6:.2f} M")
