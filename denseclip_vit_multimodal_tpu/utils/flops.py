@@ -76,8 +76,13 @@ def attention_counted_by_cost_analysis(
     token counts outside the kernels' ranges run XLA attention ON TPU,
     and charging the Pallas make-up term there would overstate FLOPs/MFU
     by one layer of attention (~2% at the slide shape, ~5% at 8k-token
-    whole frames).  `tokens_per_seq` is the model-visible (padded window)
-    length; real counts land in the same regime for every shipped shape.
+    whole frames).  `tokens_per_seq` is the REAL (unpadded) token count —
+    what every caller computes from the crop; the model's pad-once lane
+    alignment (models/vit.py: pad to the next 128-multiple, only when
+    n >= 1024) is mirrored below so the decision matches what the
+    transformer actually sees.  (Both dispatch bounds are 128-multiples
+    and the pad only rounds up within a bucket, so real vs padded never
+    actually disagree — the mirror is defensive, not load-bearing.)
     """
     from denseclip_vit_multimodal_tpu.ops.attention import (
         _FLASH_MIN_SEQ,
@@ -89,6 +94,8 @@ def attention_counted_by_cost_analysis(
     if attn_impl in ("xla", "ring") or not _on_tpu():
         return True
     n = tokens_per_seq
+    if n >= 1024 and n % 128 != 0:  # models/vit.py pad-once rule
+        n = -(-n // 128) * 128
     if attn_impl == "auto":
         oneshot = _FLASH_MIN_SEQ <= n <= _ONESHOT_MAX_SEQ
     else:  # explicit flash / int8

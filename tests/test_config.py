@@ -116,6 +116,12 @@ def test_resolve_test_protocol_defaults_and_overrides():
     cfg_h = load_config("configs/denseclip_vitb16_640x640_80k.yaml")
     assert resolve_test_protocol(cfg_h)[0] == [640, 640]
 
+    # The seg-only serving variant pins 624 EXPLICITLY (intentional, not
+    # inherited) so a future flagship-protocol edit can't change its eval
+    # protocol invisibly through the _base_ deep-merge.
+    cfg_s = load_config("configs/denseclip_vitb16_cityscapes_seg.yaml")
+    assert resolve_test_protocol(cfg_s)[:2] == ([624, 624], [426, 426])
+
 
 def test_resolve_test_protocol_accepts_mmseg_crop_size_spelling():
     from denseclip_vit_multimodal_tpu.core.config import resolve_test_protocol

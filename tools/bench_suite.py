@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import sys
 import time
@@ -173,10 +174,18 @@ def main(argv=None):
             )
 
             bb = cfg.model.backbone
-            if str(bb.get("type", "")).endswith("VisionTransformer"):
+            n_win = len(slide_grid((1024, 2048), crop, stride))
+            # window_batch chunking lowers the window sweep to lax.map,
+            # whose body cost_analysis ALSO charges once — the correction
+            # only models the scan/Pallas blind spots, so a chunked
+            # program would undercount the other chunks' XLA work.  Skip
+            # the MFU row rather than emit a silently-wrong percent.
+            chunked = (args.window_batch is not None
+                       and args.window_batch < n_win)
+            if (str(bb.get("type", "")).endswith("VisionTransformer")
+                    and not chunked):
                 tokens = (crop[0] // bb.patch_size) * (
                     crop[1] // bb.patch_size) + 1
-                n_win = len(slide_grid((1024, 2048), crop, stride))
                 flops = corrected_program_flops(
                     jax.jit(one_frame).lower(
                         variables, img, cached_text).compile(),
@@ -184,8 +193,9 @@ def main(argv=None):
                     attn_impl=attn_impl,
                 )
                 peak = device_peak_bf16_tflops(jax.devices()[0])
-                emit(f"slide_1024x2048_{task}_mfu",
-                     100.0 * flops / dt / (peak * 1e12), "percent")
+                if math.isfinite(flops):
+                    emit(f"slide_1024x2048_{task}_mfu",
+                         100.0 * flops / dt / (peak * 1e12), "percent")
         except Exception:
             pass
 
