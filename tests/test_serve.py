@@ -1,0 +1,217 @@
+"""Serving daemon tests: real HTTP round trips against a tiny model.
+
+Covers the full request path — PNG bytes over a socket -> decode ->
+compiled predict -> npz/json/png responses — plus health, metrics, and
+error mapping.  Serving-surface analog of the reference's inference entry
+(reference: segmentation/denseclip/denseclip.py:938-1041).
+"""
+
+import io
+import json
+import threading
+from http.client import HTTPConnection
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def serve_fixture(tiny_model_cfg):
+    from PIL import Image
+
+    from denseclip_vit_multimodal_tpu.data.augment import AugmentConfig
+    from denseclip_vit_multimodal_tpu.infer.engine import Inferencer
+    from denseclip_vit_multimodal_tpu.infer.server import (
+        InferenceService,
+        make_server,
+    )
+    from denseclip_vit_multimodal_tpu.models.denseclip import (
+        CITYSCAPES_CLASSES,
+        build_denseclip,
+    )
+
+    model, texts = build_denseclip(tiny_model_cfg, CITYSCAPES_CLASSES)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 32, 64, 3), jnp.float32),
+        jnp.asarray(texts),
+    )
+    infer = Inferencer(
+        model, variables, texts,
+        AugmentConfig(crop_size=(32, 64)), num_classes=19, with_depth=True,
+    )
+    service = InferenceService(
+        infer, mode="whole", crop=(32, 64), stride=(24, 48),
+        model_name="tiny-test",
+    )
+    server = make_server(service, "127.0.0.1", 0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+
+    img = np.random.RandomState(0).randint(
+        0, 255, (32, 64, 3), dtype=np.uint8
+    )
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="PNG")
+
+    yield {
+        "port": server.server_address[1],
+        "service": service,
+        "png": buf.getvalue(),
+        "img": img,
+    }
+    server.shutdown()
+    server.server_close()
+
+
+def _request(port, method, path, body=None):
+    conn = HTTPConnection("127.0.0.1", port, timeout=120)
+    headers = {"Content-Type": "application/octet-stream"} if body else {}
+    conn.request(method, path, body=body, headers=headers)
+    resp = conn.getresponse()
+    data = resp.read()
+    status, ctype = resp.status, resp.getheader("Content-Type")
+    conn.close()
+    return status, ctype, data
+
+
+def test_healthz(serve_fixture):
+    status, ctype, data = _request(serve_fixture["port"], "GET", "/healthz")
+    assert status == 200 and ctype == "application/json"
+    info = json.loads(data)
+    assert info["status"] == "ok"
+    assert info["num_classes"] == 19 and info["with_depth"] is True
+    assert info["mode"] == "whole" and info["crop"] == [32, 64]
+
+
+def test_predict_npz_round_trip(serve_fixture):
+    """npz is the machine contract: seg argmax + depth at input size, and
+    the HTTP result must equal a direct Inferencer call on the same image."""
+    status, ctype, data = _request(
+        serve_fixture["port"], "POST", "/v1/predict", serve_fixture["png"]
+    )
+    assert status == 200 and ctype == "application/octet-stream"
+    out = np.load(io.BytesIO(data))
+    assert out["seg"].shape == (32, 64) and out["seg"].dtype == np.int32
+    assert out["depth"].shape == (32, 64) and out["depth"].dtype == np.float32
+    assert 0 <= out["seg"].min() and out["seg"].max() < 19
+
+    direct = serve_fixture["service"].predict_array(serve_fixture["img"])
+    np.testing.assert_array_equal(out["seg"], direct["seg"])
+    np.testing.assert_allclose(out["depth"], direct["depth"], rtol=1e-6)
+
+
+def test_predict_json_summary(serve_fixture):
+    status, ctype, data = _request(
+        serve_fixture["port"], "POST", "/v1/predict?format=json",
+        serve_fixture["png"],
+    )
+    assert status == 200 and ctype == "application/json"
+    payload = json.loads(data)
+    assert payload["shape"] == [32, 64]
+    assert len(payload["class_pixels"]) == 19
+    assert sum(payload["class_pixels"]) == 32 * 64
+    assert "depth_mean" in payload and payload["latency_s"] >= 0
+
+
+def test_predict_png_panels(serve_fixture):
+    from PIL import Image
+
+    for target in ("seg", "depth"):
+        status, ctype, data = _request(
+            serve_fixture["port"], "POST",
+            f"/v1/predict?format=png&target={target}", serve_fixture["png"],
+        )
+        assert status == 200 and ctype == "image/png", target
+        panel = Image.open(io.BytesIO(data))
+        assert panel.size == (64, 32)  # PIL is (W, H)
+
+
+def test_slide_mode_override_matches_direct(serve_fixture):
+    """Per-request ?mode=slide runs the slide engine at the server's
+    crop/stride and must equal a direct slide predict."""
+    status, _, data = _request(
+        serve_fixture["port"], "POST", "/v1/predict?mode=slide",
+        serve_fixture["png"],
+    )
+    assert status == 200
+    out = np.load(io.BytesIO(data))
+    direct = serve_fixture["service"].inferencer.predict(
+        serve_fixture["img"][None], mode="slide", crop=(32, 64),
+        stride=(24, 48), fetch="argmax",
+    )
+    np.testing.assert_array_equal(out["seg"], direct["seg"][0])
+
+
+def test_bad_requests_are_400_and_counted(serve_fixture):
+    before = serve_fixture["service"].stats.errors_total
+    # corrupt image bytes
+    status, _, data = _request(
+        serve_fixture["port"], "POST", "/v1/predict", b"not an image"
+    )
+    assert status == 400 and b"error" in data
+    # unknown format
+    status, _, _ = _request(
+        serve_fixture["port"], "POST", "/v1/predict?format=bmp",
+        serve_fixture["png"],
+    )
+    assert status == 400
+    # unknown mode
+    status, _, _ = _request(
+        serve_fixture["port"], "POST", "/v1/predict?mode=diagonal",
+        serve_fixture["png"],
+    )
+    assert status == 400
+    # empty body
+    status, _, _ = _request(serve_fixture["port"], "POST", "/v1/predict")
+    assert status == 400
+    assert serve_fixture["service"].stats.errors_total >= before + 2
+    # unknown path
+    status, _, _ = _request(serve_fixture["port"], "GET", "/nope")
+    assert status == 404
+
+
+def test_metrics_exposition(serve_fixture):
+    status, ctype, data = _request(serve_fixture["port"], "GET", "/metrics")
+    assert status == 200 and ctype.startswith("text/plain")
+    text = data.decode()
+    assert "denseclip_requests_total" in text
+    assert "denseclip_inference_seconds_total" in text
+    # counters reflect the traffic this module generated
+    served = {
+        line.split()[0]: float(line.split()[1])
+        for line in text.splitlines()
+        if line and not line.startswith("#")
+    }
+    assert served["denseclip_requests_total"] >= 4
+    assert served["denseclip_errors_total"] >= 2
+
+
+def test_concurrent_requests_single_flight(serve_fixture):
+    """The device lock serializes inference; concurrent clients must all
+    succeed with identical results."""
+    results = []
+    errors = []
+
+    def hit():
+        try:
+            status, _, data = _request(
+                serve_fixture["port"], "POST", "/v1/predict",
+                serve_fixture["png"],
+            )
+            assert status == 200
+            results.append(np.load(io.BytesIO(data))["seg"])
+        except Exception as e:  # noqa: BLE001 — collected for the main thread
+            errors.append(e)
+
+    threads = [threading.Thread(target=hit) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors and len(results) == 4
+    for seg in results[1:]:
+        np.testing.assert_array_equal(seg, results[0])
