@@ -190,6 +190,70 @@ def test_metrics_exposition(serve_fixture):
     assert served["denseclip_errors_total"] >= 2
 
 
+def test_cli_build_service_from_checkpoint(tmp_path):
+    """tools/serve.py wiring: config + Orbax checkpoint -> working service.
+
+    Covers the path a real operator hits first — protocol resolution from
+    the config `test:` section, checkpoint restore into the Inferencer,
+    and one end-to-end predict on the assembled service."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import serve as serve_tool
+
+    from denseclip_vit_multimodal_tpu.core.config import load_config
+    from denseclip_vit_multimodal_tpu.models.denseclip import (
+        CITYSCAPES_CLASSES,
+        build_denseclip,
+    )
+    from denseclip_vit_multimodal_tpu.train import checkpoint as ckpt_lib
+    from denseclip_vit_multimodal_tpu.train.state import create_train_state
+
+    tiny = [
+        "model.backbone.width=32", "model.backbone.layers=2",
+        "model.backbone.heads=2", "model.backbone.out_indices=[0,1]",
+        "model.backbone.patch_size=16",
+        "model.text_encoder.transformer_layers=2",
+        "model.text_encoder.transformer_width=32",
+        "model.text_encoder.transformer_heads=2",
+        "model.text_encoder.embed_dim=16", "model.text_dim=16",
+        "model.token_embed_dim=32",
+        "model.context_decoder.transformer_width=16",
+        "model.context_decoder.transformer_heads=2",
+        "model.context_decoder.transformer_layers=1",
+        "model.neck.inter_channels=8", "model.neck.out_channels=16",
+        "model.decode_head.in_channels=16", "model.decode_head.channels=16",
+        "model.depth_head.in_channels=16", "model.depth_head.channels=8",
+        "data.crop_size=[32,64]", "tpu.compute_dtype=float32",
+    ]
+    cfg = load_config("configs/denseclip_vitb16_cityscapes_multitask.yaml",
+                      overrides=tiny)
+    model, texts = build_denseclip(cfg.model, CITYSCAPES_CLASSES)
+    variables = model.init(
+        jax.random.PRNGKey(3), jnp.zeros((1, 32, 64, 3)), jnp.asarray(texts)
+    )
+    state = create_train_state(model, variables, cfg.get("training", {}), 1)
+    work = str(tmp_path / "work")
+    ckpt_lib.save_checkpoint(work, state, epoch=2, best_metric=0.1)
+
+    args = serve_tool.parse_args([
+        "configs/denseclip_vitb16_cityscapes_multitask.yaml", work,
+        "--mode", "whole", "--crop", "32", "64", "--stride", "24", "48",
+        "--set", *tiny,
+    ])
+    service, epoch = serve_tool.build_service(args)
+    assert epoch == 2
+    assert service.mode == "whole" and service.crop == (32, 64)
+    health = service.health()
+    assert health["num_classes"] == 19 and health["with_depth"] is True
+
+    img = np.random.RandomState(1).randint(0, 255, (32, 64, 3), np.uint8)
+    res = service.predict_array(img)
+    assert res["seg"].shape == (32, 64) and res["depth"].shape == (32, 64)
+    assert np.isfinite(res["depth"]).all()
+
+
 def test_concurrent_requests_single_flight(serve_fixture):
     """The device lock serializes inference; concurrent clients must all
     succeed with identical results."""

@@ -21,7 +21,7 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def main(argv=None):
+def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Serve DenseCLIP over HTTP")
     p.add_argument("config")
     p.add_argument("checkpoint", help="orbax checkpoint dir or work dir")
@@ -37,8 +37,15 @@ def main(argv=None):
                    metavar=("H", "W"),
                    help="compile for this input size before accepting traffic")
     p.add_argument("--set", dest="overrides", nargs="*", default=[])
-    args = p.parse_args(argv)
+    return p.parse_args(argv)
 
+
+def build_service(args):
+    """config + checkpoint -> (InferenceService, restored epoch).
+
+    Split from main() so tests (and embedding applications) can assemble
+    the serving stack without binding a socket.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -51,10 +58,7 @@ def main(argv=None):
         augment_config_from_data_cfg,
     )
     from denseclip_vit_multimodal_tpu.infer.engine import Inferencer
-    from denseclip_vit_multimodal_tpu.infer.server import (
-        InferenceService,
-        make_server,
-    )
+    from denseclip_vit_multimodal_tpu.infer.server import InferenceService
     from denseclip_vit_multimodal_tpu.models.denseclip import build_denseclip
     from denseclip_vit_multimodal_tpu.train.checkpoint import restore_checkpoint
     from denseclip_vit_multimodal_tpu.train.loop import class_names_for
@@ -95,6 +99,14 @@ def main(argv=None):
         depth_max=float(cfg.get("data", {}).get("depth_max", 80.0)),
         model_name=os.path.basename(str(args.config)),
     )
+    return service, epoch
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    from denseclip_vit_multimodal_tpu.infer.server import make_server
+
+    service, epoch = build_service(args)
     if args.warmup:
         print(f"warmup compile at {args.warmup[0]}x{args.warmup[1]} ...",
               flush=True)
@@ -102,7 +114,7 @@ def main(argv=None):
     server = make_server(service, args.host, args.port)
     print(f"serving {args.config} (epoch {epoch}) on "
           f"http://{args.host}:{server.server_address[1]}  "
-          f"mode={args.mode} crop={tuple(crop)} stride={tuple(stride)}",
+          f"mode={service.mode} crop={service.crop} stride={service.stride}",
           flush=True)
     try:
         server.serve_forever()
