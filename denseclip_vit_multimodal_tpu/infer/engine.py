@@ -293,6 +293,12 @@ class Inferencer:
                           relay-attached sessions).
         fetch='argmax'  — argmax (int32) + depth as numpy; no fp32 canvas
                           crosses the host boundary.
+        fetch='packed'  — argmax cast to uint8 on device (requires
+                          num_classes <= 256) + depth cast to float16:
+                          ~2.7x smaller device->host transfer than
+                          'argmax' (3 vs 8 bytes/px).  For serving over
+                          slow links; depth loses f16 precision
+                          (~0.04 m at 80 m).
         fetch='device'  — device arrays, nothing fetched; feed these to
                           `eval_metrics` / further jitted consumers.
         """
@@ -303,6 +309,17 @@ class Inferencer:
                    "seg": jnp.argmax(seg_logits, axis=-1)}
             if depth is not None:
                 out["depth"] = depth
+            return out
+        if fetch == "packed":
+            if seg_logits.shape[-1] > 256:
+                raise ValueError(
+                    f"fetch='packed' needs num_classes <= 256, got "
+                    f"{seg_logits.shape[-1]}; use fetch='argmax'"
+                )
+            out = {"seg": np.asarray(
+                jnp.argmax(seg_logits, axis=-1).astype(jnp.uint8))}
+            if depth is not None:
+                out["depth"] = np.asarray(depth.astype(jnp.float16))
             return out
         out = {}
         if fetch == "logits":

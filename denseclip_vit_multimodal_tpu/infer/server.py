@@ -12,9 +12,11 @@ through the broken mmseg ``test.py`` there).  Design:
 - **Single-flight device access** — a lock serializes model calls; the
   HTTP layer is threaded (``ThreadingHTTPServer``) so health/metrics
   stay responsive while a frame is in flight.
-- **fetch='argmax' end to end** — only int32 seg + f32 depth cross the
-  host boundary, never the fp32 logit canvas (~160 MB at 1024x2048;
-  see Inferencer._package).
+- **compact host fetches end to end** — only the seg argmax + depth
+  cross the host boundary, never the fp32 logit canvas (~160 MB at
+  1024x2048; see Inferencer._package).  ``fetch='packed'`` (uint8 seg +
+  f16 depth) shrinks the device->host transfer AND the npz response a
+  further ~2.7x for bandwidth-constrained links.
 
 Endpoints:
 
@@ -93,6 +95,7 @@ class InferenceService:
         aug_test: bool = False,
         depth_max: float = 80.0,
         model_name: str = "denseclip",
+        fetch: str = "argmax",
     ):
         self.inferencer = inferencer
         self.mode = mode
@@ -102,6 +105,11 @@ class InferenceService:
         self.aug_test = aug_test
         self.depth_max = float(depth_max)
         self.model_name = model_name
+        if fetch not in ("argmax", "packed"):
+            raise ValueError(
+                f"serving fetch must be 'argmax' or 'packed', got {fetch!r}"
+            )
+        self.fetch = fetch
         self.stats = ServingStats()
         # One frame on device at a time; the jit/program cache inside the
         # Inferencer is not designed for concurrent mutation and a second
@@ -112,7 +120,11 @@ class InferenceService:
 
     def predict_array(self, img: np.ndarray, mode: Optional[str] = None,
                       aug: Optional[bool] = None) -> dict:
-        """uint8 [H, W, 3] -> {'seg' int32 [H, W], 'depth'? f32 [H, W]}."""
+        """uint8 [H, W, 3] -> {'seg' [H, W], 'depth'? [H, W]}.
+
+        Dtypes follow the service's fetch policy: int32/f32 for 'argmax',
+        uint8/f16 for 'packed' (see Inferencer._package).
+        """
         if img.ndim != 3 or img.shape[-1] != 3:
             raise ValueError(f"expected [H, W, 3] uint8 image, got {img.shape}")
         mode = self.mode if mode is None else mode
@@ -121,14 +133,14 @@ class InferenceService:
         aug = self.aug_test if aug is None else aug
         kwargs = dict(
             mode=mode, crop=self.crop, stride=self.stride,
-            window_batch=self.window_batch, fetch="argmax",
+            window_batch=self.window_batch, fetch=self.fetch,
         )
         with self._device_lock:
             fn = self.inferencer.aug_test if aug else self.inferencer.predict
             out = fn(img[None], **kwargs)
-        res = {"seg": np.asarray(out["seg"][0], np.int32)}
+        res = {"seg": np.asarray(out["seg"][0])}
         if "depth" in out:
-            res["depth"] = np.asarray(out["depth"][0], np.float32)
+            res["depth"] = np.asarray(out["depth"][0])
         return res
 
     def warmup(self, hw: Tuple[int, int]):
@@ -174,8 +186,9 @@ class InferenceService:
                 "latency_s": round(dt, 4),
             }
             if "depth" in res:
-                payload["depth_mean"] = float(res["depth"].mean())
-                payload["depth_max"] = float(res["depth"].max())
+                depth = res["depth"].astype(np.float32)
+                payload["depth_mean"] = float(depth.mean())
+                payload["depth_max"] = float(depth.max())
             return 200, "application/json", json.dumps(payload).encode()
         if fmt == "png":
             from denseclip_vit_multimodal_tpu.utils.visualize import (
@@ -187,7 +200,9 @@ class InferenceService:
             if target == "depth":
                 if "depth" not in res:
                     return 400, "application/json", b'{"error": "no depth head"}'
-                panel = colorize_depth(res["depth"], self.depth_max)
+                panel = colorize_depth(
+                    res["depth"].astype(np.float32), self.depth_max
+                )
             else:
                 panel = colorize_seg(res["seg"])
             buf = io.BytesIO()
@@ -207,6 +222,7 @@ class InferenceService:
             "crop": list(self.crop),
             "stride": list(self.stride),
             "aug_test": self.aug_test,
+            "fetch": self.fetch,
         }
 
 

@@ -336,6 +336,15 @@ def test_predict_fetch_modes(tiny_inferencer):
     assert isinstance(dev["seg_logits"], jax.Array)
     np.testing.assert_array_equal(np.asarray(dev["seg"]), full["seg"])
 
+    packed = tiny_inferencer.predict(imgs, mode="whole", fetch="packed")
+    assert packed["seg"].dtype == np.uint8
+    assert packed["depth"].dtype == np.float16
+    assert "seg_logits" not in packed
+    np.testing.assert_array_equal(packed["seg"], full["seg"].astype(np.uint8))
+    np.testing.assert_allclose(
+        packed["depth"].astype(np.float32), full["depth"],
+        rtol=2e-3, atol=1e-3)  # f16 cast precision
+
     with pytest.raises(ValueError, match="fetch"):
         tiny_inferencer.predict(imgs, mode="whole", fetch="nope")
 

@@ -190,6 +190,30 @@ def test_metrics_exposition(serve_fixture):
     assert served["denseclip_errors_total"] >= 2
 
 
+def test_packed_fetch_service(serve_fixture):
+    """fetch='packed' serves uint8 seg + f16 depth with identical argmax
+    content — the bandwidth-saving serving policy."""
+    from denseclip_vit_multimodal_tpu.infer.server import InferenceService
+
+    base = serve_fixture["service"]
+    packed = InferenceService(
+        base.inferencer, mode="whole", crop=base.crop, stride=base.stride,
+        fetch="packed",
+    )
+    res_p = packed.predict_array(serve_fixture["img"])
+    res_a = base.predict_array(serve_fixture["img"])
+    assert res_p["seg"].dtype == np.uint8
+    assert res_p["depth"].dtype == np.float16
+    np.testing.assert_array_equal(res_p["seg"], res_a["seg"].astype(np.uint8))
+    np.testing.assert_allclose(
+        res_p["depth"].astype(np.float32), res_a["depth"],
+        rtol=2e-3, atol=1e-3)
+    assert packed.health()["fetch"] == "packed"
+
+    with pytest.raises(ValueError, match="fetch"):
+        InferenceService(base.inferencer, fetch="logits")
+
+
 def test_cli_build_service_from_checkpoint(tmp_path):
     """tools/serve.py wiring: config + Orbax checkpoint -> working service.
 

@@ -33,6 +33,9 @@ def parse_args(argv=None):
     p.add_argument("--window-batch", type=int, default=None)
     p.add_argument("--aug-test", action="store_true",
                    help="multi-scale + flip averaging per request")
+    p.add_argument("--fetch", choices=["argmax", "packed"], default="argmax",
+                   help="device->host policy: packed = uint8 seg + f16 "
+                        "depth (~2.7x smaller fetch + npz)")
     p.add_argument("--warmup", type=int, nargs=2, default=None,
                    metavar=("H", "W"),
                    help="compile for this input size before accepting traffic")
@@ -98,6 +101,7 @@ def build_service(args):
         window_batch=window_batch, aug_test=args.aug_test,
         depth_max=float(cfg.get("data", {}).get("depth_max", 80.0)),
         model_name=os.path.basename(str(args.config)),
+        fetch=args.fetch,
     )
     return service, epoch
 
