@@ -30,6 +30,57 @@ from denseclip_vit_multimodal_tpu.data.augment import AugmentConfig, normalize_i
 from denseclip_vit_multimodal_tpu.infer.slide import slide_inference
 
 
+def package_outputs(seg_logits, depth, fetch: str):
+    """Package (seg_logits, depth) device arrays per the `fetch` policy.
+
+    fetch='logits'  — full fp32 logit canvas + argmax + depth as numpy
+                      (the reference contract, denseclip.py:982-1002; a
+                      1024x2048x19 fp32 canvas is ~160 MB — avoid on
+                      relay-attached sessions).
+    fetch='argmax'  — argmax (int32) + depth as numpy; no fp32 canvas
+                      crosses the host boundary.
+    fetch='packed'  — argmax cast to uint8 on device (requires
+                      num_classes <= 256) + depth cast to float16:
+                      ~2.7x smaller device->host transfer than
+                      'argmax' (3 vs 8 bytes/px).  For serving over
+                      slow links; depth loses f16 precision
+                      (~0.04 m at 80 m).
+    fetch='device'  — device arrays, nothing fetched; feed these to
+                      `eval_metrics` / further jitted consumers.
+
+    Module-level (not a method) so the exported-artifact serving path
+    (infer/exported.py) shares the exact policy semantics.
+    """
+    if depth is not None and depth.ndim == 4:
+        depth = depth[..., 0]
+    if fetch == "device":
+        out = {"seg_logits": seg_logits,
+               "seg": jnp.argmax(seg_logits, axis=-1)}
+        if depth is not None:
+            out["depth"] = depth
+        return out
+    if fetch == "packed":
+        if seg_logits.shape[-1] > 256:
+            raise ValueError(
+                f"fetch='packed' needs num_classes <= 256, got "
+                f"{seg_logits.shape[-1]}; use fetch='argmax'"
+            )
+        out = {"seg": np.asarray(
+            jnp.argmax(seg_logits, axis=-1).astype(jnp.uint8))}
+        if depth is not None:
+            out["depth"] = np.asarray(depth.astype(jnp.float16))
+        return out
+    out = {}
+    if fetch == "logits":
+        out["seg_logits"] = np.asarray(seg_logits, np.float32)
+    elif fetch != "argmax":
+        raise ValueError(f"Unknown fetch policy: {fetch!r}")
+    out["seg"] = np.asarray(jnp.argmax(seg_logits, axis=-1), np.int32)
+    if depth is not None:
+        out["depth"] = np.asarray(depth, np.float32)
+    return out
+
+
 class Inferencer:
     """Compiled inference over a fixed model + params.
 
@@ -285,51 +336,8 @@ class Inferencer:
         return window_sharding
 
     def _package(self, seg_logits, depth, fetch: str):
-        """Package (seg_logits, depth) device arrays per the `fetch` policy.
-
-        fetch='logits'  — full fp32 logit canvas + argmax + depth as numpy
-                          (the reference contract, denseclip.py:982-1002; a
-                          1024x2048x19 fp32 canvas is ~160 MB — avoid on
-                          relay-attached sessions).
-        fetch='argmax'  — argmax (int32) + depth as numpy; no fp32 canvas
-                          crosses the host boundary.
-        fetch='packed'  — argmax cast to uint8 on device (requires
-                          num_classes <= 256) + depth cast to float16:
-                          ~2.7x smaller device->host transfer than
-                          'argmax' (3 vs 8 bytes/px).  For serving over
-                          slow links; depth loses f16 precision
-                          (~0.04 m at 80 m).
-        fetch='device'  — device arrays, nothing fetched; feed these to
-                          `eval_metrics` / further jitted consumers.
-        """
-        if depth is not None and depth.ndim == 4:
-            depth = depth[..., 0]
-        if fetch == "device":
-            out = {"seg_logits": seg_logits,
-                   "seg": jnp.argmax(seg_logits, axis=-1)}
-            if depth is not None:
-                out["depth"] = depth
-            return out
-        if fetch == "packed":
-            if seg_logits.shape[-1] > 256:
-                raise ValueError(
-                    f"fetch='packed' needs num_classes <= 256, got "
-                    f"{seg_logits.shape[-1]}; use fetch='argmax'"
-                )
-            out = {"seg": np.asarray(
-                jnp.argmax(seg_logits, axis=-1).astype(jnp.uint8))}
-            if depth is not None:
-                out["depth"] = np.asarray(depth.astype(jnp.float16))
-            return out
-        out = {}
-        if fetch == "logits":
-            out["seg_logits"] = np.asarray(seg_logits, np.float32)
-        elif fetch != "argmax":
-            raise ValueError(f"Unknown fetch policy: {fetch!r}")
-        out["seg"] = np.asarray(jnp.argmax(seg_logits, axis=-1), np.int32)
-        if depth is not None:
-            out["depth"] = np.asarray(depth, np.float32)
-        return out
+        """Fetch-policy packaging; see module-level :func:`package_outputs`."""
+        return package_outputs(seg_logits, depth, fetch)
 
     def predict(
         self,

@@ -54,6 +54,13 @@ def main(argv=None):
     p.add_argument("--stride", type=int, nargs=2, default=None)
     p.add_argument("--window-batch", type=int, default=None,
                    help="chunk the slide window batch through lax.map")
+    p.add_argument("--fetch", choices=["logits", "argmax", "packed"],
+                   default="logits",
+                   help="bake the fetch policy into the exported program: "
+                        "argmax = int32 seg (+ f32 depth), packed = uint8 "
+                        "seg (+ f16 depth) — the device->host compression "
+                        "then needs no host-side model code (serving via "
+                        "tools/serve.py --from-export)")
     p.add_argument("--load", default=None, help="load + self-test an export dir")
     p.add_argument("--selftest", action="store_true")
     p.add_argument("--set", dest="overrides", nargs="*", default=[])
@@ -75,7 +82,10 @@ def main(argv=None):
             x = jnp.zeros(meta["input_shape"], jnp.uint8)
             out = program.call(*flat, x)
             out = out[0] if isinstance(out, (tuple, list)) else out
-            print(f"self-test OK: seg logits {np.asarray(out).shape}")
+            kind = ("seg argmax" if meta.get("fetch", "logits") != "logits"
+                    else "seg logits")
+            print(f"self-test OK: {kind} {np.asarray(out).shape} "
+                  f"fetch={meta.get('fetch', 'logits')}")
         return
 
     if not (args.config and args.checkpoint and args.out_dir):
@@ -100,6 +110,8 @@ def main(argv=None):
         cfg, args.crop, args.stride, args.window_batch
     )
     class_names = class_names_for(cfg.get("data", {}))
+    if args.fetch == "packed" and len(class_names) > 256:
+        p.error(f"--fetch packed needs <= 256 classes, got {len(class_names)}")
     tpu_cfg = cfg.get("tpu", {}) or {}
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
         str(tpu_cfg.get("compute_dtype", "bfloat16"))
@@ -121,6 +133,9 @@ def main(argv=None):
     std = jnp.asarray(aug.norm_std)
     n_out = len(class_names) + (1 if cfg.model.get("depth_head") else 0)
 
+    num_classes = len(class_names)
+    has_depth = bool(cfg.model.get("depth_head"))
+
     def infer_fn(*flat_and_image):
         *flat, image = flat_and_image
         tree = jax.tree_util.tree_unflatten(treedef, flat)
@@ -138,11 +153,26 @@ def main(argv=None):
         if args.mode == "slide":
             # head-resolution logits; slide fuses the upsample (infer/slide.py)
             fwd = functools.partial(fwd, resize_outputs=False)
-            return slide_inference(
+            canvas = slide_inference(
                 fwd, pre, n_out, crop=tuple(args.crop),
                 stride=tuple(args.stride), window_batch=args.window_batch,
             )
-        return fwd(pre)
+        else:
+            canvas = fwd(pre)
+        if args.fetch == "logits":
+            return canvas
+        # Baked fetch policy: the argmax/compression happens INSIDE the
+        # exported program so the serving host never sees the fp32 canvas
+        # (same contract as infer/engine.py::package_outputs).
+        seg = jnp.argmax(canvas[..., :num_classes], axis=-1)
+        seg = seg.astype(jnp.int32 if args.fetch == "argmax" else jnp.uint8)
+        if not has_depth:
+            return (seg,)
+        depth = canvas[..., num_classes]
+        depth = depth.astype(
+            jnp.float32 if args.fetch == "argmax" else jnp.float16
+        )
+        return (seg, depth)
 
     flat, treedef = jax.tree_util.tree_flatten(variables)
     h, w = args.shape
@@ -168,6 +198,10 @@ def main(argv=None):
         "num_outputs": n_out,
         "class_names": list(class_names),
         "weight_keys": list(flat_named.keys()),
+        "fetch": args.fetch,
+        "with_depth": has_depth,
+        "depth_max": float(cfg.get("data", {}).get("depth_max", 80.0)),
+        "model_name": os.path.basename(str(args.config)),
     }
     with open(os.path.join(args.out_dir, "meta.json"), "w") as f:
         json.dump(meta, f, indent=1)

@@ -23,8 +23,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="Serve DenseCLIP over HTTP")
-    p.add_argument("config")
-    p.add_argument("checkpoint", help="orbax checkpoint dir or work dir")
+    p.add_argument("config", nargs="?",
+                   help="config path (omit with --from-export)")
+    p.add_argument("checkpoint", nargs="?",
+                   help="orbax checkpoint dir or work dir "
+                        "(omit with --from-export)")
+    p.add_argument("--from-export", default=None, metavar="DIR",
+                   help="serve a tools/export.py bundle (StableHLO program "
+                        "+ weights) — no config/checkpoint/model code; "
+                        "protocol comes from the bundle's meta.json")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--mode", choices=["whole", "slide"], default="slide")
@@ -36,11 +43,57 @@ def parse_args(argv=None):
     p.add_argument("--fetch", choices=["argmax", "packed"], default="argmax",
                    help="device->host policy: packed = uint8 seg + f16 "
                         "depth (~2.7x smaller fetch + npz)")
+    p.add_argument("--device-timeout", type=float, default=0.0,
+                   help="deadline (s) per device call: a miss returns 503 "
+                        "and flips /healthz to degraded instead of hanging "
+                        "clients on a wedged device (0 = off)")
+    p.add_argument("--max-body-mb", type=float, default=64.0,
+                   help="reject POST bodies larger than this with 413")
     p.add_argument("--warmup", type=int, nargs=2, default=None,
                    metavar=("H", "W"),
                    help="compile for this input size before accepting traffic")
     p.add_argument("--set", dest="overrides", nargs="*", default=[])
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.from_export is None and not (args.config and args.checkpoint):
+        p.error("config and checkpoint are required unless --from-export")
+    return args
+
+
+def build_service_from_export(args):
+    """export dir -> (InferenceService, epoch=None).
+
+    The bundle's meta.json fixes mode/crop/stride/window_batch; CLI
+    protocol flags are rejected when they conflict rather than silently
+    ignored.  aug_test is not exportable (one program per scale)."""
+    from denseclip_vit_multimodal_tpu.infer.exported import ExportedInferencer
+    from denseclip_vit_multimodal_tpu.infer.server import InferenceService
+
+    infer = ExportedInferencer(args.from_export)
+    for flag, ours in (("crop", infer.crop), ("stride", infer.stride)):
+        want = getattr(args, flag)
+        if want is not None and tuple(want) != ours:
+            raise SystemExit(
+                f"--{flag} {tuple(want)} conflicts with the export's "
+                f"{flag}={ours}; re-export to change the protocol"
+            )
+    if args.aug_test:
+        raise SystemExit("--aug-test cannot be served from an export")
+    # A 'logits' export still serves any fetch policy (packaging happens
+    # on the program's output arrays); a baked export serves exactly its
+    # own policy.
+    fetch = args.fetch
+    if infer.export_fetch in ("argmax", "packed") and fetch != infer.export_fetch:
+        raise SystemExit(
+            f"export was baked with fetch={infer.export_fetch!r}; "
+            f"serve with --fetch {infer.export_fetch} or re-export"
+        )
+    service = InferenceService(
+        infer, mode=infer.mode, crop=infer.crop, stride=infer.stride,
+        window_batch=infer.window_batch, depth_max=infer.depth_max,
+        model_name=infer.model_name, fetch=fetch,
+        device_timeout=args.device_timeout,
+    )
+    return service, None
 
 
 def build_service(args):
@@ -49,6 +102,8 @@ def build_service(args):
     Split from main() so tests (and embedding applications) can assemble
     the serving stack without binding a socket.
     """
+    if getattr(args, "from_export", None):
+        return build_service_from_export(args)
     import jax
     import jax.numpy as jnp
 
@@ -102,6 +157,7 @@ def build_service(args):
         depth_max=float(cfg.get("data", {}).get("depth_max", 80.0)),
         model_name=os.path.basename(str(args.config)),
         fetch=args.fetch,
+        device_timeout=getattr(args, "device_timeout", 0.0),
     )
     return service, epoch
 
@@ -115,8 +171,10 @@ def main(argv=None):
         print(f"warmup compile at {args.warmup[0]}x{args.warmup[1]} ...",
               flush=True)
         service.warmup(tuple(args.warmup))
-    server = make_server(service, args.host, args.port)
-    print(f"serving {args.config} (epoch {epoch}) on "
+    server = make_server(service, args.host, args.port,
+                         max_body_bytes=int(args.max_body_mb * (1 << 20)))
+    origin = args.from_export or f"{args.config} (epoch {epoch})"
+    print(f"serving {origin} on "
           f"http://{args.host}:{server.server_address[1]}  "
           f"mode={service.mode} crop={service.crop} stride={service.stride}",
           flush=True)
