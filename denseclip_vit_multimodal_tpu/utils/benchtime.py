@@ -12,16 +12,55 @@ relay-attached TPU sessions (tools/bench_suite.py, tools/profile_attn.py):
     whole branches (a depth head when only seg is folded) or narrow the
     channel dimension through elementwise chains (measured ~5% inflation
     of the slide headline when only logit channel 0 was read);
-  * fetch ONE scalar at the end.
+  * fetch ONE scalar at the end;
+  * repeat the timed run until the two fastest agree within 2% (relay
+    sessions drift +-15%, and a fresh session's first timed runs read up
+    to ~15% low — docs/PERFORMANCE.md "Measurement lesson") and report
+    the min, plus the observed spread so recorded results carry their
+    own noise bound.
 """
 
 from __future__ import annotations
 
 import time
+from typing import Callable, List, Optional, Tuple
 
 
-def device_loop_time(fn, args, iters: int) -> float:
-    """Seconds per iteration of fn(*args), looped on device."""
+def adaptive_min_time(
+    run_once: Callable[[], None],
+    max_rounds: int = 6,
+    rel_tol: float = 0.02,
+) -> Tuple[float, float]:
+    """Repeat `run_once` until its two fastest timings agree within
+    `rel_tol`; returns (best_seconds, drift_pct).
+
+    `drift_pct` = spread of ALL observed runs around the best
+    ((max-min)/min*100) — the session-noise bound to record next to the
+    measurement.  Used by bench.py and tools/bench_suite.py so
+    round-over-round suite comparisons aren't single-shot noise samples
+    (r4 VERDICT weak #7: loader rows halved between rounds from recorded
+    one-shot variance)."""
+    times: List[float] = []
+    for _ in range(max_rounds):
+        t0 = time.perf_counter()
+        run_once()
+        times.append(time.perf_counter() - t0)
+        if len(times) >= 2:
+            best, second = sorted(times)[:2]
+            if second - best < rel_tol * best:
+                break
+    best = min(times)
+    drift = (max(times) - best) / best * 100.0
+    return best, drift
+
+
+def device_loop_time(fn, args, iters: int,
+                     stats: Optional[dict] = None) -> float:
+    """Seconds per iteration of fn(*args), looped on device.
+
+    Adaptive: the `iters`-long device loop is re-run until the two fastest
+    wall times agree within 2% (max 6 runs); returns min/iters.  Pass a
+    dict as `stats` to receive {'runs': n, 'drift_pct': spread}."""
     import jax
     import jax.numpy as jnp
 
@@ -46,6 +85,14 @@ def device_loop_time(fn, args, iters: int) -> float:
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
     float(loop(args, 1))  # compile + warmup
-    t0 = time.perf_counter()
-    float(loop(args, iters))
-    return (time.perf_counter() - t0) / iters
+    n_runs = [0]
+
+    def run_once():
+        float(loop(args, iters))
+        n_runs[0] += 1
+
+    best, drift = adaptive_min_time(run_once)
+    if stats is not None:
+        stats["runs"] = n_runs[0]
+        stats["drift_pct"] = round(drift, 2)
+    return best / iters

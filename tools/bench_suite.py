@@ -32,12 +32,14 @@ import json
 import math
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-from denseclip_vit_multimodal_tpu.utils.benchtime import device_loop_time  # noqa: E402
+from denseclip_vit_multimodal_tpu.utils.benchtime import (  # noqa: E402
+    adaptive_min_time,
+    device_loop_time,
+)
 
 
 def main(argv=None):
@@ -132,23 +134,30 @@ def main(argv=None):
         return jax.tree.map(jnp.array, variables)
     results = []
 
-    def emit(name, value, unit):
+    def emit(name, value, unit, stats=None):
         line = {
             "metric": name + args.tag,
             "value": round(value, 4),
             "unit": unit,
         }
+        if stats:
+            # session-noise bound: spread of the adaptive repeats around the
+            # reported min (r4 VERDICT weak #7 — single-shot suite rows made
+            # round-over-round comparison noise-limited)
+            line["drift_pct"] = stats.get("drift_pct")
+            line["timed_runs"] = stats.get("runs")
         results.append(line)
         print(json.dumps(line), flush=True)
 
     if 1 in args.workloads:
         img = jnp.zeros((1, 512, 512, 3), jnp.float32)
+        st = {}
         dt = device_loop_time(
             lambda v, im, ct: model.apply(
                 v, im, texts_j, train=False, cached_text=ct)["seg"],
-            (variables, img, cached_text), args.iters,
+            (variables, img, cached_text), args.iters, stats=st,
         )
-        emit(f"{arch}_512x512_seg_forward", 1.0 / dt, "images/sec")
+        emit(f"{arch}_512x512_seg_forward", 1.0 / dt, "images/sec", st)
 
     if 2 in args.workloads:
         crop, stride = tuple(args.crop), tuple(args.stride)
@@ -159,9 +168,10 @@ def main(argv=None):
                                    window_batch=args.window_batch)
 
         img = jnp.zeros((1, 1024, 2048, 3), jnp.float32)
+        st = {}
         dt = device_loop_time(
-            one_frame, (variables, img, cached_text), args.iters)
-        emit(f"slide_1024x2048_{task}", 1.0 / dt, "images/sec")
+            one_frame, (variables, img, cached_text), args.iters, stats=st)
+        emit(f"slide_1024x2048_{task}", 1.0 / dt, "images/sec", st)
 
         # MFU anchor for the headline workload (ViT backbones only: the
         # flop correction models the nn.scan + Pallas blind spots of that
@@ -211,22 +221,24 @@ def main(argv=None):
                                    window_batch=args.window_batch)
 
         img = jnp.zeros((4, 1024, 2048, 3), jnp.float32)
+        st = {}
         dt = device_loop_time(
             four_frames, (variables, img, cached_text),
-            max(args.iters // 2, 2)
+            max(args.iters // 2, 2), stats=st,
         )
-        emit(f"slide_1024x2048_{task}_batch4", 4.0 / dt, "images/sec")
+        emit(f"slide_1024x2048_{task}_batch4", 4.0 / dt, "images/sec", st)
 
     if 3 in args.workloads:
         img = jnp.zeros((4, 1024, 2048, 3), jnp.float32)
+        st = {}
         dt = device_loop_time(
             # return BOTH heads so the depth branch isn't DCE'd out of the
             # "multitask" measurement (device_loop_time folds every leaf)
             lambda v, im, ct: model.apply(
                 v, im, texts_j, train=False, cached_text=ct),
-            (variables, img, cached_text), max(args.iters // 2, 2),
+            (variables, img, cached_text), max(args.iters // 2, 2), stats=st,
         )
-        emit(f"whole_1024x2048_{task}_batch4", 4.0 / dt, "images/sec")
+        emit(f"whole_1024x2048_{task}_batch4", 4.0 / dt, "images/sec", st)
 
     if 4 in args.workloads:
         from denseclip_vit_multimodal_tpu.train.state import create_train_state
@@ -250,13 +262,17 @@ def main(argv=None):
         key = jax.random.PRNGKey(0)
         new_state, metrics = step(state, batch, key)  # compile
         float(metrics["loss_total"])
-        t0 = time.perf_counter()
         iters = max(args.iters // 2, 2)
-        for _ in range(iters):
-            new_state, metrics = step(new_state, batch, key)
-        float(metrics["loss_total"])  # sync via scalar fetch
-        dt = (time.perf_counter() - t0) / iters
-        emit("train_step_frozen_text_batch16", b / dt, "samples/sec")
+
+        def run_once():
+            nonlocal new_state
+            for _ in range(iters):
+                new_state, m = step(new_state, batch, key)
+            float(m["loss_total"])  # sync via scalar fetch
+
+        best, drift = adaptive_min_time(run_once, max_rounds=4)
+        emit("train_step_frozen_text_batch16", b * iters / best,
+             "samples/sec", {"drift_pct": round(drift, 2)})
 
     if 6 in args.workloads:
         # Heritage recipe: backbone TRAINS at lr x0.1, text tower frozen
@@ -284,13 +300,17 @@ def main(argv=None):
         key = jax.random.PRNGKey(0)
         new_state, metrics = step(state, batch, key)
         float(metrics["loss_total"])
-        t0 = time.perf_counter()
         iters = max(args.iters // 2, 2)
-        for _ in range(iters):
-            new_state, metrics = step(new_state, batch, key)
-        float(metrics["loss_total"])
-        dt = (time.perf_counter() - t0) / iters
-        emit("train_step_unfrozen_backbone_batch8", b / dt, "samples/sec")
+
+        def run_once():
+            nonlocal new_state
+            for _ in range(iters):
+                new_state, m = step(new_state, batch, key)
+            float(m["loss_total"])
+
+        best, drift = adaptive_min_time(run_once, max_rounds=4)
+        emit("train_step_unfrozen_backbone_batch8", b * iters / best,
+             "samples/sec", {"drift_pct": round(drift, 2)})
 
     if 8 in args.workloads:
         # Workload 4 with the real input pipeline in the loop — quantifies
@@ -322,12 +342,16 @@ def main(argv=None):
 
         for batch in loader.epoch(0):  # warm any lazy init, then time
             break
-        t0 = time.perf_counter()
-        n = 0
-        for batch in loader.epoch(0):
-            n += batch["image"].shape[0]
-        dt_host = time.perf_counter() - t0
-        emit("loader_host_pipeline_batch16", n / dt_host, "samples/sec")
+        n_epoch = [0]
+
+        def run_host():
+            n_epoch[0] = 0
+            for batch in loader.epoch(0):
+                n_epoch[0] += batch["image"].shape[0]
+
+        best, drift = adaptive_min_time(run_host, max_rounds=4)
+        emit("loader_host_pipeline_batch16", n_epoch[0] / best,
+             "samples/sec", {"drift_pct": round(drift, 2)})
 
         # Same pipeline with generation amortized (cache=True): isolates the
         # loader machinery — threads, resample logic, batch stacking.
@@ -338,12 +362,15 @@ def main(argv=None):
                               process_index=0, process_count=1)
         for batch in loader_c.epoch(0):  # populate the cache
             pass
-        t0 = time.perf_counter()
-        n = 0
-        for batch in loader_c.epoch(0):
-            n += batch["image"].shape[0]
-        emit("loader_host_machinery_batch16",
-             n / (time.perf_counter() - t0), "samples/sec")
+
+        def run_machinery():
+            n_epoch[0] = 0
+            for batch in loader_c.epoch(0):
+                n_epoch[0] += batch["image"].shape[0]
+
+        best, drift = adaptive_min_time(run_machinery, max_rounds=4)
+        emit("loader_host_machinery_batch16", n_epoch[0] / best,
+             "samples/sec", {"drift_pct": round(drift, 2)})
 
         aug_cfg = augment_config_from_data_cfg(cfg.get("data", {}), train=True)
         state = create_train_state(
@@ -354,14 +381,26 @@ def main(argv=None):
         it = device_prefetch(loader_c.epoch(1))
         state, metrics = step(state, next(it), key)  # compile on batch 0
         float(metrics["loss_total"])
-        t0 = time.perf_counter()
-        n = 0
-        for batch in it:
-            state, metrics = step(state, batch, key)
-            n += b
-        float(metrics["loss_total"])  # drain the device queue
-        dt = time.perf_counter() - t0
-        emit("train_loader_included_batch16", n / dt, "samples/sec")
+        n_seen = [0]
+        epoch_no = [1]
+
+        def run_e2e():
+            nonlocal state
+            # first run continues epoch 1's iterator; later runs take a
+            # fresh epoch so every run covers the same loader->H2D->step path
+            stream = it if epoch_no[0] == 1 else device_prefetch(
+                loader_c.epoch(epoch_no[0]))
+            epoch_no[0] += 1
+            n_seen[0] = 0
+            m = None
+            for batch in stream:
+                state, m = step(state, batch, key)
+                n_seen[0] += b
+            float(m["loss_total"])  # drain the device queue
+
+        best, drift = adaptive_min_time(run_e2e, max_rounds=3)
+        emit("train_loader_included_batch16", n_seen[0] / best,
+             "samples/sec", {"drift_pct": round(drift, 2)})
 
     if 9 in args.workloads:
         # The tools/test.py device computation end to end: slide + argmax +
@@ -401,10 +440,11 @@ def main(argv=None):
             rng.randint(0, nk, (1, 1024, 2048)).astype(np.int32))
         depth_gt = jnp.asarray(
             rng.uniform(0, 80, (1, 1024, 2048)).astype(np.float32))
+        st = {}
         dt = device_loop_time(
             eval_one, (variables, im, seg_gt, depth_gt, cached_text),
-            args.iters)
-        emit("eval_path_device_1024x2048_slide", 1.0 / dt, "images/sec")
+            args.iters, stats=st)
+        emit("eval_path_device_1024x2048_slide", 1.0 / dt, "images/sec", st)
 
     if 5 in args.workloads:
         from denseclip_vit_multimodal_tpu.infer.engine import Inferencer
@@ -442,11 +482,13 @@ def main(argv=None):
             return (acc / n, None if acc_d is None else acc_d / n)
 
         img0 = jnp.zeros((1, h, w, 3), jnp.float32)
+        st = {}
         dt = device_loop_time(
             aug_full, (variables, img0, texts_j, cached_text),
-            max(args.iters // 4, 2)
+            max(args.iters // 4, 2), stats=st,
         )
-        emit("aug_test_slide_3scale_flip_1024x2048", 1.0 / dt, "images/sec")
+        emit("aug_test_slide_3scale_flip_1024x2048", 1.0 / dt,
+             "images/sec", st)
 
     # Merge by metric name so a partial `--workloads` run refreshes its own
     # entries without clobbering the rest of the recorded suite.
