@@ -85,15 +85,25 @@ def build_optimizer(
     clip_grad_norm: Optional[float] = None,
     frozen_modules: Tuple[str, ...] = DEFAULT_FROZEN_MODULES,
     lr_mults: Optional[Mapping[str, float]] = None,
+    opt_type: str = "adamw",
+    momentum: float = 0.0,
 ) -> optax.GradientTransformation:
-    """AdamW over trainable labels; frozen labels get zero updates.
+    """AdamW or SGD over trainable labels; frozen labels get zero updates.
 
     `lr_mults` maps top-level module names to multipliers (mult 0 behaves
     like freezing but keeps Adam state; prefer `frozen_modules` for true
-    freezing).  Weight decay is masked off scale/bias/norm leaves, matching
-    the reference heritage `norm_decay_mult=0`.
+    freezing).  For AdamW, weight decay is decoupled and masked off
+    scale/bias/norm leaves, matching the reference heritage
+    `norm_decay_mult=0`.  `opt_type: sgd` mirrors the reference trainer's
+    second optimizer choice (train_denseclip.py:1062 builds
+    `torch.optim.SGD(params, **opt_cfg)`): COUPLED weight decay added to
+    the gradient before the momentum buffer, applied to every leaf, with
+    `buf = momentum*buf + g; p -= lr*buf` semantics (optax.trace).
     """
     lr_mults = dict(lr_mults or {})
+    opt_type = str(opt_type).lower()
+    if opt_type not in ("adamw", "sgd"):
+        raise ValueError(f"Unsupported optimizer type: {opt_type}")
 
     def wd_mask(p):
         def keep(path, leaf):
@@ -102,13 +112,19 @@ def build_optimizer(
 
         return jax.tree_util.tree_map_with_path(keep, p)
 
-    def adamw_for(mult: float) -> optax.GradientTransformation:
+    def tx_for(mult: float) -> optax.GradientTransformation:
+        lr = optax.scale_by_learning_rate(lambda step: schedule(step) * mult)
+        if opt_type == "sgd":
+            steps = []
+            if weight_decay:
+                steps.append(optax.add_decayed_weights(weight_decay))
+            if momentum:
+                steps.append(optax.trace(decay=momentum))
+            return optax.chain(*steps, lr)
         return optax.chain(
             optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps),
             optax.add_decayed_weights(weight_decay, mask=wd_mask),
-            optax.scale_by_learning_rate(
-                lambda step: schedule(step) * mult
-            ),
+            lr,
         )
 
     labels = label_params(params, frozen_modules)
@@ -118,7 +134,7 @@ def build_optimizer(
         if label == FROZEN:
             transforms[label] = optax.set_to_zero()
         else:
-            transforms[label] = adamw_for(float(lr_mults.get(label, 1.0)))
+            transforms[label] = tx_for(float(lr_mults.get(label, 1.0)))
     tx = optax.multi_transform(transforms, labels)
     if clip_grad_norm:
         # ONE global-norm clip over the whole gradient tree, applied before
@@ -202,6 +218,8 @@ def create_train_state(
         clip_grad_norm=get("clip_grad_norm", None),
         frozen_modules=frozen_modules,
         lr_mults=_lr_mults_from_cfg(get),
+        opt_type=str(oget("type", "AdamW")),
+        momentum=float(oget("momentum", 0.0)),
     )
     return TrainState(
         step=jnp.zeros((), jnp.int32),

@@ -379,3 +379,78 @@ def test_async_crash_window_protections(tiny_setup, tmp_path):
     shutil.rmtree(os.path.join(base, "epoch_4"))
     with pytest.raises(FileNotFoundError, match="dangles"):
         restore_checkpoint(str(tmp_path), state, which="best")
+
+
+def test_sgd_matches_torch_sgd_semantics():
+    """`build_optimizer(opt_type='sgd')` mirrors `torch.optim.SGD` exactly:
+    COUPLED weight decay added to the gradient BEFORE the momentum buffer
+    (applied to every leaf, unlike AdamW's masked decoupled decay) and
+    `buf = momentum*buf + g; p -= lr*buf` (reference trainer's second
+    optimizer choice, train_denseclip.py:1062).  8 steps on a non-trivial
+    quadratic, bitwise-tight tolerance.
+    """
+    torch = pytest.importorskip("torch")
+    from denseclip_vit_multimodal_tpu.train.state import build_optimizer
+
+    LR, WD, MOM, N = 1e-2, 0.05, 0.9, 8
+    rng = np.random.RandomState(3)
+    w0 = rng.randn(4, 5).astype(np.float32)
+    b0 = rng.randn(5).astype(np.float32)
+    targets = [rng.randn(4, 5).astype(np.float32) for _ in range(N)]
+
+    # torch side
+    tw = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    tb = torch.nn.Parameter(torch.from_numpy(b0.copy()))
+    opt = torch.optim.SGD([tw, tb], lr=LR, momentum=MOM, weight_decay=WD)
+    for t in targets:
+        opt.zero_grad()
+        loss = ((tw - torch.from_numpy(t)) ** 2).sum() + (tb ** 2).sum()
+        loss.backward()
+        opt.step()
+
+    # our side: the production builder with a matching constant schedule
+    params = {"m": {"kernel": jnp.asarray(w0), "bias": jnp.asarray(b0)}}
+    tx = build_optimizer(
+        params, lambda step: LR, weight_decay=WD, opt_type="SGD",
+        momentum=MOM, frozen_modules=(),
+    )
+    import optax
+
+    state = tx.init(params)
+    for t in targets:
+        grads = jax.grad(
+            lambda p: jnp.sum((p["m"]["kernel"] - jnp.asarray(t)) ** 2)
+            + jnp.sum(p["m"]["bias"] ** 2)
+        )(params)
+        updates, state = tx.update(grads, state, params)
+        params = optax.apply_updates(params, updates)
+
+    np.testing.assert_allclose(
+        np.asarray(params["m"]["kernel"]), tw.detach().numpy(),
+        rtol=1e-6, atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(params["m"]["bias"]), tb.detach().numpy(),
+        rtol=1e-6, atol=1e-7,
+    )
+
+
+def test_sgd_momentumless_and_bad_type():
+    """SGD with momentum 0 / wd 0 is plain gradient descent; unknown
+    optimizer types are rejected (the reference raises too,
+    train_denseclip.py:1063)."""
+    import optax
+
+    from denseclip_vit_multimodal_tpu.train.state import build_optimizer
+
+    params = {"m": {"kernel": jnp.ones((2, 2))}}
+    tx = build_optimizer(params, lambda s: 0.5, weight_decay=0.0,
+                         opt_type="sgd", momentum=0.0, frozen_modules=())
+    grads = {"m": {"kernel": jnp.full((2, 2), 2.0)}}
+    updates, _ = tx.update(grads, tx.init(params), params)
+    new = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(new["m"]["kernel"]),
+                               np.full((2, 2), 0.0), atol=1e-7)
+
+    with pytest.raises(ValueError, match="Unsupported optimizer"):
+        build_optimizer(params, lambda s: 0.5, opt_type="rmsprop")
