@@ -82,6 +82,7 @@ class ServingStats:
         self.errors_total = 0
         self.timeouts_total = 0
         self.inference_seconds_total = 0.0
+        self.device_seconds_total = 0.0
         self.images_total = 0
 
     def record(self, seconds: float, ok: bool, images: int = 1,
@@ -95,6 +96,15 @@ class ServingStats:
                 self.errors_total += 1
                 if timeout:
                     self.timeouts_total += 1
+
+    def record_device(self, seconds: float):
+        """Time spent HOLDING the single-flight device lock — unlike
+        `inference_seconds_total` (per-request wall, which sums lock WAITS
+        across concurrent clients and can exceed wall clock), this is a
+        true device-occupancy counter: rate(device_seconds_total) is the
+        fraction of time the device is busy."""
+        with self._lock:
+            self.device_seconds_total += seconds
 
     def render(self) -> str:
         with self._lock:
@@ -110,6 +120,9 @@ class ServingStats:
                 "# TYPE denseclip_inference_seconds_total counter",
                 f"denseclip_inference_seconds_total "
                 f"{self.inference_seconds_total:.6f}",
+                "# TYPE denseclip_device_seconds_total counter",
+                f"denseclip_device_seconds_total "
+                f"{self.device_seconds_total:.6f}",
             ]
         return "\n".join(lines) + "\n"
 
@@ -179,7 +192,11 @@ class InferenceService:
                 self._inflight_since = time.monotonic()
             try:
                 with self._device_lock:
-                    return call()
+                    t0 = time.monotonic()
+                    try:
+                        return call()
+                    finally:
+                        self.stats.record_device(time.monotonic() - t0)
             finally:
                 with self._meta_lock:
                     self._inflight_since = None

@@ -188,6 +188,9 @@ def test_metrics_exposition(serve_fixture):
     }
     assert served["denseclip_requests_total"] >= 4
     assert served["denseclip_errors_total"] >= 2
+    # device-busy counter: lock-HELD seconds only (includes warmup, which
+    # the per-request counter does not — so no ordering between the two)
+    assert 0.0 < served["denseclip_device_seconds_total"]
 
 
 def test_packed_fetch_service(serve_fixture):
@@ -337,8 +340,16 @@ def test_device_timeout_returns_503_and_degrades_health():
         assert svc.stats.timeouts_total == 1
         assert svc.stats.errors_total == 1
 
-        h = svc.health()
-        assert h["status"] == "degraded"
+        # On a loaded 1-CPU host the worker thread may not have STARTED
+        # the device call when the future deadline fired — poll until the
+        # blocked call registers as in-flight and ages past the deadline.
+        deadline0 = _time.monotonic() + 10.0
+        while True:
+            h = svc.health()
+            if h["status"] == "degraded":
+                break
+            assert _time.monotonic() < deadline0, f"never degraded: {h}"
+            _time.sleep(0.05)
         assert h["inflight_age_s"] is not None and h["inflight_age_s"] > 0.3
         assert h["last_success_age_s"] is None
         assert h["timeouts_total"] == 1
