@@ -88,6 +88,28 @@ def test_test_cli_dual_protocol(work_dir, capsys):
     assert "ref/mIoU" not in out and "ref/mIoU" not in res
 
 
+def test_test_cli_show_dir_and_out(work_dir, tmp_path):
+    """--show-dir paints a panel PNG per frame and --out saves packed
+    predictions (reference test.py:35-37,22 — its intended, never-working
+    surface)."""
+    import test as test_cli
+
+    show = tmp_path / "painted"
+    out_npz = tmp_path / "preds.npz"
+    test_cli.main([CONFIG, work_dir, "--eval", "mIoU",
+                   "--mode", "whole", "--max-samples", "2",
+                   "--show-dir", str(show), "--out", str(out_npz),
+                   "--set", *TINY])
+    pngs = sorted(os.listdir(show))
+    assert pngs and pngs[0].startswith("frame_") and pngs[0].endswith(".png")
+    data = np.load(out_npz)
+    segs = [k for k in data.files if k.startswith("seg_")]
+    assert len(segs) == len(pngs) >= 2
+    assert data["seg_0"].dtype == np.uint8
+    if "depth_0" in data.files:
+        assert data["depth_0"].dtype == np.float16
+
+
 def test_infer_cli_writes_pngs(work_dir, tmp_path):
     from PIL import Image
 

@@ -47,6 +47,14 @@ def parse_args(argv=None):
     p.add_argument("--fetch-logits", action="store_true",
                    help="also fetch the full fp32 logit canvas per batch "
                         "(slow over a relay; metrics never need it)")
+    p.add_argument("--show-dir", default=None, metavar="DIR",
+                   help="save an input/pred(/GT) panel PNG per frame "
+                        "(reference test.py --show-dir; fetches "
+                        "predictions to host, slow over a relay)")
+    p.add_argument("--out", default=None, metavar="FILE.npz",
+                   help="save per-frame predictions (uint8 seg + f16 "
+                        "depth) to one .npz, keys seg_N/depth_N "
+                        "(reference test.py --out wrote a pickle)")
     p.add_argument("--single-protocol", action="store_true",
                    help="slide mode evaluates BOTH the config protocol and "
                         "the heritage reference protocol when their crops "
@@ -141,13 +149,14 @@ def main(argv=None):
     # TPU-native speed).  `--fetch-logits` opts back into canvas fetches.
     max_depth = float(data_cfg.get("depth_max", 80.0))
 
-    def evaluate(crop, stride, window_batch):
+    def evaluate(crop, stride, window_batch, artifacts=False):
         cm = None
         d_sums, d_count = None, None
         seen = 0
         seen_at_t0 = 0
         t0 = time.perf_counter()
         out = None
+        out_arrays = {}  # --out accumulator (uint8 seg / f16 depth)
         for batch in loader.epoch(0):
             if args.aug_test:
                 out = infer.aug_test(batch["image"], mode=args.mode,
@@ -164,6 +173,40 @@ def main(argv=None):
                                     fetch="device")
             if args.fetch_logits:
                 np.asarray(out["seg_logits"])  # opt-in canvas fetch (slow)
+            if artifacts and (args.show_dir or args.out):
+                # Painted panels / saved predictions (reference test.py
+                # --show-dir / --out, :35-37,22).  Host fetch per frame —
+                # only on the primary protocol pass, and the throughput
+                # row is expected to drop over a relay link.
+                from denseclip_vit_multimodal_tpu.utils.visualize import (
+                    save_multi_task_panel,
+                )
+
+                seg_np = np.asarray(out["seg"])
+                depth_np = np.asarray(out["depth"]) if "depth" in out else None
+                for b in range(seg_np.shape[0]):
+                    idx = seen + b
+                    if args.show_dir:
+                        save_multi_task_panel(
+                            os.path.join(args.show_dir,
+                                         f"frame_{idx:05d}.png"),
+                            batch["image"][b],
+                            seg_np[b],
+                            seg_gt=(np.asarray(batch["seg"][b])
+                                    if "seg" in batch else None),
+                            depth_pred=(depth_np[b]
+                                        if depth_np is not None else None),
+                            depth_gt=(np.asarray(batch["depth"][b])
+                                      if "depth" in batch else None),
+                            max_depth=max_depth,
+                            title=f"frame {idx}",
+                        )
+                    if args.out:
+                        out_arrays[f"seg_{idx}"] = seg_np[b].astype(np.uint8)
+                        if depth_np is not None:
+                            out_arrays[f"depth_{idx}"] = (
+                                depth_np[b].astype(np.float16)
+                            )
             if "seg" in batch or "depth" in batch:
                 c, s, n = infer.eval_metrics(
                     out,
@@ -244,9 +287,14 @@ def main(argv=None):
                 {f"depth/{k}": float(v)
                  for k, v in finalize_depth_errors(d_sums, d_count).items()}
             )
+        if artifacts and args.out and out_arrays:
+            np.savez_compressed(args.out, **out_arrays)
+            print(f"saved {sum(1 for k in out_arrays if k.startswith('seg'))}"
+                  f" frames to {args.out}")
         return results
 
-    results = evaluate(args.crop, args.stride, args.window_batch)
+    results = evaluate(args.crop, args.stride, args.window_batch,
+                       artifacts=True)
     for k, v in results.items():
         print(f"{k}: {v:.4f}")
 
