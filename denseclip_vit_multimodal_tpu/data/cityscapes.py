@@ -44,6 +44,21 @@ for _label_id, _train_id in {
 }.items():
     ID_TO_TRAIN_ID[_label_id] = _train_id
 
+# trainId (0..18) -> labelId: the inverse map, for writing predictions in
+# the official Cityscapes submission format (labelId PNGs — the surface
+# behind the reference eval CLI's --format-only, test.py:23-28 via mmseg
+# format_results).  Ignore/unknown trainIds map to labelId 0 ("unlabeled").
+TRAIN_ID_TO_LABEL_ID = np.zeros(256, dtype=np.uint8)
+for _label_id in range(len(ID_TO_TRAIN_ID)):
+    if ID_TO_TRAIN_ID[_label_id] != IGNORE_INDEX:
+        TRAIN_ID_TO_LABEL_ID[ID_TO_TRAIN_ID[_label_id]] = _label_id
+
+
+def labelids_from_trainids(train_ids: np.ndarray) -> np.ndarray:
+    """Vectorized trainId -> labelId (submission format); uint8 out."""
+    return TRAIN_ID_TO_LABEL_ID[np.asarray(train_ids, dtype=np.uint8)]
+
+
 # Disparity->depth constants (reference cityscapes_depth_seg.py:15-23).
 BASELINE_FOCAL_LENGTH = 500.0
 DEPTH_IGNORE_VALUE = 0.0

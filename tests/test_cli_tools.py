@@ -94,11 +94,17 @@ def test_test_cli_show_dir_and_out(work_dir, tmp_path):
     surface)."""
     import test as test_cli
 
+    from PIL import Image
+
+    from denseclip_vit_multimodal_tpu.data.cityscapes import ID_TO_TRAIN_ID
+
     show = tmp_path / "painted"
     out_npz = tmp_path / "preds.npz"
+    fmt = tmp_path / "submission"
     test_cli.main([CONFIG, work_dir, "--eval", "mIoU",
                    "--mode", "whole", "--max-samples", "2",
                    "--show-dir", str(show), "--out", str(out_npz),
+                   "--format-dir", str(fmt),
                    "--set", *TINY])
     pngs = sorted(os.listdir(show))
     assert pngs and pngs[0].startswith("frame_") and pngs[0].endswith(".png")
@@ -108,6 +114,12 @@ def test_test_cli_show_dir_and_out(work_dir, tmp_path):
     assert data["seg_0"].dtype == np.uint8
     if "depth_0" in data.files:
         assert data["depth_0"].dtype == np.float16
+    # submission format: labelId PNGs whose remap round-trips to the preds
+    sub = sorted(os.listdir(fmt))
+    assert sub[0] == "frame_00000_labelIds.png" and len(sub) == len(segs)
+    label_ids = np.asarray(Image.open(fmt / sub[0]))
+    assert label_ids.dtype == np.uint8
+    np.testing.assert_array_equal(ID_TO_TRAIN_ID[label_ids], data["seg_0"])
 
 
 def test_infer_cli_writes_pngs(work_dir, tmp_path):

@@ -36,6 +36,19 @@ def test_remap_table_contents():
     np.testing.assert_array_equal(out, [[0, 1, 255], [13, 255, 18]])
 
 
+def test_trainid_to_labelid_roundtrip():
+    """The submission-format inverse map: every trainId round-trips through
+    its labelId; ignore maps to labelId 0 ('unlabeled')."""
+    from denseclip_vit_multimodal_tpu.data.cityscapes import (
+        labelids_from_trainids,
+    )
+
+    train_ids = np.arange(19, dtype=np.uint8).reshape(1, 19)
+    label_ids = labelids_from_trainids(train_ids)
+    np.testing.assert_array_equal(ID_TO_TRAIN_ID[label_ids], train_ids)
+    assert labelids_from_trainids(np.array([255], np.uint8))[0] == 0
+
+
 def test_disparity_to_depth_math():
     # depth = 500 / ((d - 1) / 256); reference cityscapes_depth_seg.py:137-170.
     disp = np.array([[0, 257], [25601, 65535]], dtype=np.uint16)

@@ -55,6 +55,13 @@ def parse_args(argv=None):
                    help="save per-frame predictions (uint8 seg + f16 "
                         "depth) to one .npz, keys seg_N/depth_N "
                         "(reference test.py --out wrote a pickle)")
+    p.add_argument("--format-dir", default=None, metavar="DIR",
+                   help="write predictions as official Cityscapes "
+                        "submission labelId PNGs (trainId->labelId "
+                        "inverse remap; reference test.py --format-only "
+                        "via mmseg format_results).  Frames are named by "
+                        "dataset order (the eval scan is sorted and "
+                        "unshuffled)")
     p.add_argument("--single-protocol", action="store_true",
                    help="slide mode evaluates BOTH the config protocol and "
                         "the heritage reference protocol when their crops "
@@ -173,7 +180,7 @@ def main(argv=None):
                                     fetch="device")
             if args.fetch_logits:
                 np.asarray(out["seg_logits"])  # opt-in canvas fetch (slow)
-            if artifacts and (args.show_dir or args.out):
+            if artifacts and (args.show_dir or args.out or args.format_dir):
                 # Painted panels / saved predictions (reference test.py
                 # --show-dir / --out, :35-37,22).  Host fetch per frame —
                 # only on the primary protocol pass, and the throughput
@@ -207,6 +214,19 @@ def main(argv=None):
                             out_arrays[f"depth_{idx}"] = (
                                 depth_np[b].astype(np.float16)
                             )
+                    if args.format_dir:
+                        from PIL import Image
+
+                        from denseclip_vit_multimodal_tpu.data.cityscapes \
+                            import labelids_from_trainids
+
+                        os.makedirs(args.format_dir, exist_ok=True)
+                        Image.fromarray(
+                            labelids_from_trainids(seg_np[b])
+                        ).save(os.path.join(
+                            args.format_dir,
+                            f"frame_{idx:05d}_labelIds.png",
+                        ))
             if "seg" in batch or "depth" in batch:
                 c, s, n = infer.eval_metrics(
                     out,
