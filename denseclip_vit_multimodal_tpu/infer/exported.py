@@ -83,10 +83,19 @@ class ExportedInferencer:
         match the export's specialization exactly."""
         import jax.numpy as jnp
 
+        images = np.asarray(images)
         if tuple(images.shape) != self.input_shape:
             raise ValueError(
                 f"exported program is specialized to input "
                 f"{self.input_shape}, got {tuple(images.shape)}"
+            )
+        if images.dtype != np.uint8:
+            # The live Inferencer accepts uint8 OR float frames; this
+            # program bakes uint8-in preprocessing, and a silent cast
+            # would truncate 0..1-scaled floats to near-black garbage.
+            raise ValueError(
+                f"exported program takes uint8 frames, got {images.dtype}; "
+                f"scale to 0..255 uint8 before predict"
             )
         if mode != self.mode:
             raise ValueError(

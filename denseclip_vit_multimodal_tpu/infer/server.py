@@ -183,23 +183,34 @@ class InferenceService:
 
         timeout None/<=0 = unbounded (warmup compiles legitimately take
         tens of seconds).  With a deadline, the call runs on a persistent
-        single worker thread; a miss raises DeviceTimeoutError while the
-        worker stays blocked on the wedged dispatch — subsequent calls
-        fail fast until it drains (observed relay wedges: 25+ min)."""
+        single worker thread; the deadline is END TO END (single-flight
+        queue wait + device call) — the bound a client actually
+        experiences.  A miss raises DeviceTimeoutError; the abandoned
+        call is cancelled before it ever reaches the device (a queued
+        entry whose client gave up would otherwise still dispatch later,
+        holding the lock for nobody — self-amplifying backlog).  A call
+        already RUNNING when its deadline expires cannot be interrupted
+        (the relay dispatch is blocking); subsequent calls fail fast on
+        the in-flight-age check until it drains (observed relay wedges:
+        25+ min)."""
 
-        def tracked():
-            with self._meta_lock:
-                self._inflight_since = time.monotonic()
-            try:
-                with self._device_lock:
-                    t0 = time.monotonic()
-                    try:
-                        return call()
-                    finally:
-                        self.stats.record_device(time.monotonic() - t0)
-            finally:
+        def tracked(abandoned: Optional[threading.Event] = None):
+            with self._device_lock:
+                if abandoned is not None and abandoned.is_set():
+                    return None  # client timed out while queued: skip dispatch
+                # Mark in-flight only while HOLDING the lock: the marker
+                # always describes the call actually on the device (a
+                # pre-lock write was last-writer-wins across queued
+                # threads and read "nothing in flight" during a wedge).
                 with self._meta_lock:
-                    self._inflight_since = None
+                    self._inflight_since = time.monotonic()
+                t0 = time.monotonic()
+                try:
+                    return call()
+                finally:
+                    self.stats.record_device(time.monotonic() - t0)
+                    with self._meta_lock:
+                        self._inflight_since = None
 
         if not timeout or timeout <= 0:
             out = tracked()
@@ -220,10 +231,12 @@ class InferenceService:
                     max_workers=1, thread_name_prefix="device"
                 )
             executor = self._executor
-        future = executor.submit(tracked)
+        abandoned = threading.Event()
+        future = executor.submit(tracked, abandoned)
         try:
             out = future.result(timeout=timeout)
         except _FutureTimeout:
+            abandoned.set()  # never dispatch a call nobody is waiting for
             raise DeviceTimeoutError(
                 f"device call exceeded {timeout:.1f}s deadline"
             ) from None
@@ -316,16 +329,22 @@ class InferenceService:
             return self._client_error("no depth head")
 
         try:
-            img = np.asarray(
-                Image.open(io.BytesIO(body)).convert("RGB"), np.uint8
-            )
+            pil = Image.open(io.BytesIO(body))
+            w, h = pil.size  # header-only parse: no pixel data decoded yet
         except Exception as e:  # noqa: BLE001 — any decode failure is a 400
             return self._client_error(f"cannot decode image: {e}")
-        if img.shape[0] * img.shape[1] > self.max_pixels:
+        # Bound pixels BEFORE .convert() triggers the full decode — a
+        # flat-color 150-MP PNG fits the body cap but would expand to
+        # ~450 MB of RGB per handler thread (the decompression bomb this
+        # guard exists for).
+        if w * h > self.max_pixels:
             return self._client_error(
-                f"image {img.shape[0]}x{img.shape[1]} exceeds the "
-                f"{self.max_pixels}-pixel limit"
+                f"image {h}x{w} exceeds the {self.max_pixels}-pixel limit"
             )
+        try:
+            img = np.asarray(pil.convert("RGB"), np.uint8)
+        except Exception as e:  # noqa: BLE001 — truncated data decodes lazily
+            return self._client_error(f"cannot decode image: {e}")
 
         t0 = time.perf_counter()
         try:

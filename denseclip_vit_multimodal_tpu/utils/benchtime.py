@@ -65,11 +65,16 @@ def device_loop_time(fn, args, iters: int,
     import jax.numpy as jnp
 
     def fold(leaf):
-        # one element of every minor-axis (channel) entry: pins the whole
-        # channel dim without a canvas-wide reduction
-        flat = jnp.reshape(leaf, (-1, leaf.shape[-1])) if leaf.ndim >= 1 \
-            else jnp.reshape(leaf, (1, 1))
-        return jnp.sum(flat[0].astype(jnp.float32))
+        # Pin every LEADING-dim (batch) element and every channel: a
+        # flat[0]-style read covered only batch 0's first pixel, which
+        # left batch>1 workloads legally narrowable to one frame (the
+        # r3 carry-pinning lesson, batch edition).  First + last dim-1
+        # plane per batch element is ~1e-3 of a canvas — carry cost nil
+        # (r3 measured a FULL-canvas sum timing the same as two corners).
+        if leaf.ndim >= 3:
+            return (jnp.sum(leaf[:, 0].astype(jnp.float32))
+                    + jnp.sum(leaf[:, -1].astype(jnp.float32)))
+        return jnp.sum(leaf.astype(jnp.float32))
 
     @jax.jit
     def loop(args, iters):

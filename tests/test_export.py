@@ -153,6 +153,11 @@ def test_exported_inferencer_matches_live_inferencer(export_dir):
         exported.predict(img, mode="slide")
     with pytest.raises(ValueError, match="aug_test"):
         exported.aug_test(img)
+    # float frames must be REJECTED, not silently uint8-truncated to
+    # near-black garbage (the live engine normalizes floats; this
+    # program bakes uint8-in preprocessing)
+    with pytest.raises(ValueError, match="uint8"):
+        exported.predict(img.astype(np.float32) / 255.0, mode="whole")
 
 
 def test_serve_from_export_socket_parity(export_dir, tmp_path):

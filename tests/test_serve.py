@@ -376,6 +376,53 @@ def test_device_timeout_returns_503_and_degrades_health():
     assert out["seg"].shape == (8, 8)
 
 
+def test_abandoned_queued_call_never_dispatches():
+    """A request whose deadline expires while QUEUED behind an in-flight
+    call must never reach the device afterwards — otherwise every
+    abandoned request replays through the device with nobody waiting,
+    a self-amplifying backlog (r5 review finding)."""
+    import time as _time
+
+    from denseclip_vit_multimodal_tpu.infer.server import InferenceService
+
+    gate = threading.Event()
+    fake = _FakeInferencer(gate=gate)
+    svc = InferenceService(fake, mode="whole", device_timeout=2.0)
+    png = _png_bytes()
+    try:
+        # A: dispatches and blocks on the gate (holds the device lock).
+        a = threading.Thread(
+            target=lambda: svc.handle_predict(png, {}), daemon=True
+        )
+        a.start()
+        deadline = _time.monotonic() + 10.0
+        while fake.calls < 1:
+            assert _time.monotonic() < deadline, "A never dispatched"
+            _time.sleep(0.01)
+
+        # B: queues behind A, times out end-to-end, gets 503 — and must
+        # have WAITED (queued path), not failed fast on the wedge check.
+        t0 = _time.monotonic()
+        status, _, _ = svc.handle_predict(png, {})
+        waited = _time.monotonic() - t0
+        assert status == 503
+    finally:
+        gate.set()
+    a.join(timeout=30)
+
+    deadline = _time.monotonic() + 10.0
+    while svc.health()["inflight_age_s"] is not None:
+        assert _time.monotonic() < deadline, "worker never drained"
+        _time.sleep(0.01)
+    # B was abandoned in the queue: only A's dispatch ever ran...
+    if waited >= 1.5:  # (on a loaded host B may instead fail fast pre-queue)
+        assert fake.calls == 1
+    # ...and the service still serves fresh requests afterwards.
+    status, _, _ = svc.handle_predict(png, {})
+    assert status == 200
+    assert fake.calls >= 2
+
+
 def test_param_errors_cost_no_device_dispatch():
     """Unknown format/mode/aug/target must 400 and increment errors BEFORE
     any device work (ADVICE r4: a bad ?format= used to run a full slide

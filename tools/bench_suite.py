@@ -378,24 +378,29 @@ def main(argv=None):
         )
         step = make_train_step(texts, aug_cfg)
         key = jax.random.PRNGKey(0)
-        it = device_prefetch(loader_c.epoch(1))
+        # Compile on epoch 0, then DRAIN its remainder untimed: every timed
+        # run must cover the same full-epoch batch count, else the first
+        # run (one batch short after the compile next()) is almost always
+        # the min and inflates the rate by N/(N-1).
+        it = device_prefetch(loader_c.epoch(0))
         state, metrics = step(state, next(it), key)  # compile on batch 0
         float(metrics["loss_total"])
+        for _ in it:
+            pass
         n_seen = [0]
         epoch_no = [1]
 
         def run_e2e():
             nonlocal state
-            # first run continues epoch 1's iterator; later runs take a
-            # fresh epoch so every run covers the same loader->H2D->step path
-            stream = it if epoch_no[0] == 1 else device_prefetch(
-                loader_c.epoch(epoch_no[0]))
+            stream = device_prefetch(loader_c.epoch(epoch_no[0]))
             epoch_no[0] += 1
             n_seen[0] = 0
             m = None
             for batch in stream:
                 state, m = step(state, batch, key)
                 n_seen[0] += b
+            if m is None:
+                raise RuntimeError("loader produced an empty epoch")
             float(m["loss_total"])  # drain the device queue
 
         best, drift = adaptive_min_time(run_e2e, max_rounds=3)

@@ -11,9 +11,10 @@ ONE session (A/B/C/D rounds, repeat until each variant's two fastest agree
 within 2%, report min) so the b1-vs-b4 story is same-session and the
 window_batch sweep {10, 20, 40} is decided on evidence.
 
-Timing machinery mirrors bench.py: device fori_loop, carry pins one pixel
-of every output channel at two corners (the r3 carry-pinning lesson), one
-scalar fetch per run.
+Timing machinery mirrors bench.py: device fori_loop, carry pins two
+corner pixels of every output channel for EVERY batch element (the r3
+carry-pinning lesson — a batch-0-only carry would let XLA narrow the b4
+variants to one frame), one scalar fetch per run.
 
 Usage:  python tools/exp_b4_reconcile.py [--rounds 6] [--iters-b1 8]
 Writes one JSON line per variant; run detached on the TPU host.
@@ -94,7 +95,12 @@ def main(argv=None):
                     image + acc * 1e-20, num_out,
                     crop=crop, stride=stride, window_batch=window_batch,
                 )
-                return acc + out[0, 0, 0, :].sum() + out[0, -1, -1, :].sum()
+                # Pin EVERY batch element and every channel (two corner
+                # pixels each): out[0,...] alone would let XLA prune the
+                # batch>1 variants down to frame 0's windows — the exact
+                # carry-pinning trap the r3 re-baseline documented.
+                return (acc + out[:, 0, 0, :].sum()
+                        + out[:, -1, -1, :].sum())
 
             return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 

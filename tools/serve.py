@@ -34,7 +34,9 @@ def parse_args(argv=None):
                         "protocol comes from the bundle's meta.json")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
-    p.add_argument("--mode", choices=["whole", "slide"], default="slide")
+    p.add_argument("--mode", choices=["whole", "slide"], default=None,
+                   help="inference mode (default: slide; with "
+                        "--from-export the bundle's mode is authoritative)")
     p.add_argument("--crop", type=int, nargs=2, default=None)
     p.add_argument("--stride", type=int, nargs=2, default=None)
     p.add_argument("--window-batch", type=int, default=None)
@@ -76,6 +78,18 @@ def build_service_from_export(args):
                 f"--{flag} {tuple(want)} conflicts with the export's "
                 f"{flag}={ours}; re-export to change the protocol"
             )
+    if args.mode is not None and args.mode != infer.mode:
+        raise SystemExit(
+            f"--mode {args.mode} conflicts with the export's "
+            f"mode={infer.mode!r}; re-export to change the protocol"
+        )
+    if (args.window_batch is not None
+            and int(args.window_batch) != infer.window_batch):
+        raise SystemExit(
+            f"--window-batch {args.window_batch} conflicts with the "
+            f"export's window_batch={infer.window_batch}; re-export to "
+            f"change the protocol"
+        )
     if args.aug_test:
         raise SystemExit("--aug-test cannot be served from an export")
     # A 'logits' export still serves any fetch policy (packaging happens
@@ -152,7 +166,7 @@ def build_service(args):
         with_depth=bool(cfg.model.get("depth_head")),
     )
     service = InferenceService(
-        infer, mode=args.mode, crop=tuple(crop), stride=tuple(stride),
+        infer, mode=args.mode or "slide", crop=tuple(crop), stride=tuple(stride),
         window_batch=window_batch, aug_test=args.aug_test,
         depth_max=float(cfg.get("data", {}).get("depth_max", 80.0)),
         model_name=os.path.basename(str(args.config)),
