@@ -120,6 +120,14 @@ class ADE20KSegmentation:
 
         img_path, label_path = self.samples[idx]
         try:
+            # Fixed canvas for BOTH splits, labels included: this IS the
+            # reference's eval protocol — its val transform is
+            # A.Resize(crop_h, crop_w, BILINEAR) over image AND mask
+            # (train_denseclip.py:160-166, which even interpolates the
+            # mask bilinearly; NEAREST here is the strictly-correct
+            # version of the same resize).  Native-resolution scoring
+            # would also mean per-image shapes -> one XLA recompile per
+            # unique ADE20K size.
             ch, cw = self.canvas_size
             img = Image.open(img_path).convert("RGB").resize(
                 (cw, ch), Image.BILINEAR

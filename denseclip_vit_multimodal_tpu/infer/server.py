@@ -159,6 +159,15 @@ class InferenceService:
             raise ValueError(
                 f"serving fetch must be 'argmax' or 'packed', got {fetch!r}"
             )
+        if fetch == "packed" and int(
+            getattr(inferencer, "num_classes", 0)
+        ) > 256:
+            # fail at startup as a config error, not per-request as a
+            # misleading client 400 (packed seg is uint8)
+            raise ValueError(
+                f"fetch='packed' needs num_classes <= 256, got "
+                f"{inferencer.num_classes}; serve with fetch='argmax'"
+            )
         self.fetch = fetch
         #: deadline (seconds) for one device call; 0 disables the watchdog.
         self.device_timeout = float(device_timeout)

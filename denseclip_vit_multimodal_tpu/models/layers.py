@@ -294,8 +294,6 @@ class MultiHeadAttention(nn.Module):
         than the saved qkv HBM round trip.  Kept opt-in
         (DENSECLIP_FUSED_LNQKV=1) with full tests for future hardware.
         """
-        import os
-
         if os.environ.get("DENSECLIP_FUSED_LNQKV", "0") != "1":
             return False
         if self.causal or self.use_qkv_bias is False:

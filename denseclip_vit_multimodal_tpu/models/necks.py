@@ -115,4 +115,5 @@ class FPN(nn.Module):
                 outs[-1], window_shape=(1, 1), strides=(2, 2), padding="VALID"
             )
             outs.append(extra)
-        return tuple(outs[:num_outs] if num_outs <= len(outs) else outs)
+        # the guard above + the append cap len(outs) at >= num_outs
+        return tuple(outs[:num_outs])

@@ -65,7 +65,12 @@ def _ln_rows(x, gamma, beta, eps, out_dtype):
         xf * xf, ones, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )[:, 0:1]
-    var = msq - mean * mean
+    # One-pass variance (E[x^2] - mean^2) cancels catastrophically when
+    # |mean| >> std: fp32 rounding of msq can exceed the true variance and
+    # push var below -eps -> rsqrt(negative) = NaN.  Clamp to zero — the
+    # clamped case means the row is (numerically) constant, where the
+    # two-pass form would also produce ~0/eps.
+    var = jnp.maximum(msq - mean * mean, 0.0)
     y = (xf - mean) * jax.lax.rsqrt(var + eps)
     return (y * gamma + beta).astype(out_dtype)
 

@@ -129,21 +129,25 @@ def save_checkpoint(
             for name in aliases:
                 _repoint_symlink(os.path.join(base, name), f"epoch_{epoch}")
     else:
+        # ONE full serialization; `latest`/`best` are atomic symlinks at
+        # the committed epoch dir (same scheme as async mode — the old
+        # sync path re-serialized the multi-GB payload once per alias,
+        # tripling the save stall on a best epoch).  Unlike async there is
+        # no dangle window: save() has committed before the repoint.
         with ocp.StandardCheckpointer() as saver:
             saver.save(path, payload, force=True)
+        if jax.process_index() == 0:
             for name in aliases:
-                t = os.path.join(base, name)
-                if os.path.islink(t):
-                    # leftover async alias: force-saving THROUGH a symlink
-                    # would clobber the epoch dir it points at.  EVERY
-                    # process runs this loop (the orbax save below is
-                    # collective), so the unlink can race on shared storage
-                    # — losing the race is fine.
-                    try:
-                        os.unlink(t)
-                    except FileNotFoundError:
-                        pass
-                saver.save(t, payload, force=True)
+                _repoint_symlink(os.path.join(base, name), f"epoch_{epoch}")
+        if jax.process_count() > 1:
+            # Every process must observe the repointed aliases before its
+            # save_checkpoint returns — a rank may immediately restore
+            # `latest` (the OLD per-alias collective saves provided this
+            # barrier implicitly; dropping them without one let rank>0
+            # race the symlink and hang the collective restore).
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"denseclip_ckpt_{epoch}")
     # Rolling window of epoch_N dirs (latest/best never pruned).
     if jax.process_index() != 0:
         return path
@@ -176,16 +180,8 @@ def save_checkpoint(
     return path
 
 
-def restore_checkpoint(
-    path_or_work_dir: str,
-    state: TrainState,
-    which: str = "latest",
-) -> Tuple[TrainState, int, float]:
-    """Restore into the given (abstract or concrete) state.
-
-    Accepts either a checkpoint directory itself or a work dir (then picks
-    `checkpoints/{which}`).  Returns (state, epoch, best_metric).
-    """
+def _resolve_ckpt_source(path_or_work_dir: str, which: str) -> str:
+    """A checkpoint directory itself, or a work dir -> checkpoints/{which}."""
     path = os.path.abspath(path_or_work_dir)
     candidate = os.path.join(_ckpt_dir(path), which)
     if os.path.islink(candidate) and not os.path.isdir(
@@ -199,8 +195,20 @@ def restore_checkpoint(
             f"interrupted before commit); restore from an explicit "
             f"epoch_N directory in {_ckpt_dir(path)!r} instead"
         )
-    if os.path.isdir(candidate):
-        path = candidate
+    return candidate if os.path.isdir(candidate) else path
+
+
+def restore_checkpoint(
+    path_or_work_dir: str,
+    state: TrainState,
+    which: str = "latest",
+) -> Tuple[TrainState, int, float]:
+    """Restore into the given (abstract or concrete) state.
+
+    Accepts either a checkpoint directory itself or a work dir (then picks
+    `checkpoints/{which}`).  Returns (state, epoch, best_metric).
+    """
+    path = _resolve_ckpt_source(path_or_work_dir, which)
     template = {
         "state": _state_payload(state),
         "meta": {
@@ -225,8 +233,36 @@ def restore_checkpoint(
 
 def load_params_only(path_or_work_dir: str, state: TrainState) -> TrainState:
     """Warm-start weights without optimizer/scheduler (reference `--load`,
-    train_denseclip.py:1012-1034)."""
-    restored, _, _ = restore_checkpoint(path_or_work_dir, state)
+    train_denseclip.py:1012-1034).
+
+    Template-FREE read: only params + batch_stats are taken from the
+    saved tree, so the source run may use a different optimizer type,
+    freeze set, or lr-mult grouping than this run — the cross-config
+    warm start is exactly what `--load` exists for (a full-state
+    template restore aborts on any opt_state tree mismatch)."""
+    import jax
+    import jax.numpy as jnp
+
+    path = _resolve_ckpt_source(path_or_work_dir, "latest")
+    with ocp.StandardCheckpointer() as restorer:
+        payload = restorer.restore(path)
+    saved = payload["state"]
+
+    def onto(template_tree, saved_tree):
+        # cast onto this run's dtypes AND shardings (a bare jnp.asarray
+        # lands on device 0, clashing with a mesh-replicated rest-of-
+        # state); treedef mismatch (different MODEL, not just optimizer)
+        # still fails loudly here, as it should
+        def one(t, x):
+            x = jnp.asarray(x, getattr(t, "dtype", None))
+            sharding = getattr(t, "sharding", None)
+            if sharding is not None:
+                x = jax.device_put(x, sharding)
+            return x
+
+        return jax.tree.map(one, template_tree, saved_tree)
+
     return state.replace(
-        params=restored.params, batch_stats=restored.batch_stats
+        params=onto(state.params, saved["params"]),
+        batch_stats=onto(state.batch_stats, saved["batch_stats"]),
     )

@@ -99,7 +99,7 @@ class MetricsWriter:
                 # (train_denseclip.py:1368-1378); degrading to CSV-only is
                 # fine but must be LOUD — a silent disable was r4 VERDICT
                 # weak #6.
-                logging.getLogger("denseclip").warning(
+                logging.getLogger("denseclip_tpu").warning(
                     "tensorboardX unavailable (%s): TensorBoard logging "
                     "disabled, CSV metrics only", e,
                 )
@@ -166,10 +166,10 @@ def validate(
     cm_total = None
     depth_sums_total = None
     depth_count_total = None
-    losses: Dict[str, list] = {}
+    loss_sums: Dict[str, Any] = {}  # DEVICE accumulators, fetched once
     n_batches = 0
-    best_batch_acc = -1.0
-    best_sample = None  # host copies of the best-accuracy batch's sample 0
+    best_acc_dev = None  # device scalar: best per-batch accuracy so far
+    best_sample = None  # device references to the best batch's sample 0
     # Params are constant across the eval epoch: run the image-independent
     # text tower once and feed every batch's program the cached features.
     cached_text = getattr(eval_step, "text_base", lambda s: None)(state)
@@ -198,22 +198,31 @@ def validate(
             cm = results["confusion"]
             cm_total = cm if cm_total is None else cm_total + cm
             if visualize_to and jax.process_index() == 0:
-                acc = float(accuracy_from_confusion(cm))
-                if acc > best_batch_acc:
-                    best_batch_acc = acc
-                    # Keep DEVICE references only — fetching image/pred/depth
-                    # here would serialize the prefetched eval loop on every
-                    # accuracy improvement (several MB per fetch through the
-                    # ~1 MB/s relay).  The single host fetch happens once,
-                    # after the loop.
+                # Best-batch tracking stays ENTIRELY on device: even a
+                # per-batch float(acc) scalar fetch is a blocking ~30 ms
+                # RPC through the relay that serializes the prefetched
+                # eval loop (the rule this file's own bench comments
+                # state).  The running best sample is merged leaf-wise
+                # with jnp.where; ONE host fetch happens after the loop.
+                acc = accuracy_from_confusion(cm)
+                sample = {
+                    "image": batch["image"][0],
+                    "seg_pred": results["seg_pred"][0],
+                    "seg_gt": batch["seg"][0] if "seg" in batch else None,
+                    "depth_pred": results["depth_pred"][0]
+                    if "depth_pred" in results else None,
+                    "depth_gt": batch["depth"][0]
+                    if "depth" in batch else None,
+                }
+                if best_sample is None:
+                    best_acc_dev, best_sample = acc, sample
+                else:
+                    take = acc > best_acc_dev
+                    best_acc_dev = jnp.where(take, acc, best_acc_dev)
                     best_sample = {
-                        "image": batch["image"][0],
-                        "seg_pred": results["seg_pred"][0],
-                        "seg_gt": batch["seg"][0] if "seg" in batch else None,
-                        "depth_pred": results["depth_pred"][0]
-                        if "depth_pred" in results else None,
-                        "depth_gt": batch["depth"][0]
-                        if "depth" in batch else None,
+                        k: None if v is None
+                        else jnp.where(take, sample[k], v)
+                        for k, v in best_sample.items()
                     }
         if "depth_sums" in results:
             ds, dc = results["depth_sums"], results["depth_count"]
@@ -224,7 +233,12 @@ def validate(
                 depth_count_total = depth_count_total + dc
         for k in ("loss_seg", "loss_silog"):
             if k in results:
-                losses.setdefault(k, []).append(float(results[k]))
+                # device-side sum; a per-batch float() here would block
+                # the loop on a relay RPC every batch (see bench notes)
+                loss_sums[k] = (
+                    results[k] if k not in loss_sums
+                    else loss_sums[k] + results[k]
+                )
         n_batches += 1
         if max_batches and n_batches >= max_batches:
             break
@@ -237,8 +251,8 @@ def validate(
     if depth_sums_total is not None:
         depth = finalize_depth_errors(depth_sums_total, depth_count_total)
         metrics.update({f"depth_{k}": float(v) for k, v in depth.items()})
-    for k, vals in losses.items():
-        metrics[f"val_{k}"] = float(np.mean(vals))
+    for k, v in loss_sums.items():
+        metrics[f"val_{k}"] = float(v) / max(n_batches, 1)
     if best_sample is not None:
         try:
             from denseclip_vit_multimodal_tpu.utils.visualize import (
@@ -257,7 +271,9 @@ def validate(
                 seg_gt=fetch(best_sample["seg_gt"]),
                 depth_pred=fetch(best_sample["depth_pred"]),
                 depth_gt=fetch(best_sample["depth_gt"]),
-                title=f"best batch accuracy {best_batch_acc * 100:.2f}%",
+                title=(
+                    f"best batch accuracy {float(best_acc_dev) * 100:.2f}%"
+                ),
             )
             # Exact analog of the reference's best-accuracy comparison
             # figure (train_denseclip.py:846-890): input / seg pred /
@@ -517,7 +533,11 @@ def train(cfg, work_dir: str, resume: Optional[str] = None,
     log_interval = int(training_cfg.get("log_interval", 50))
     rng, loop_rng = jax.random.split(rng)
 
-    total_steps = 0
+    # Count from the GLOBAL optimizer step so iteration budgets
+    # (training.iters / max_steps) hold across preemption resumes — a
+    # zero-based counter re-armed the full cap after every resume and
+    # overshot the budget by up to steps_per_epoch-1 steps.
+    total_steps = int(state.step)
     last_val: Dict[str, float] = {}
     reached_epoch = None  # last epoch the loop actually entered
     for epoch in range(start_epoch, epochs):
@@ -560,7 +580,12 @@ def train(cfg, work_dir: str, resume: Optional[str] = None,
         if is_main:
             writer.scalars("train_epoch", epoch_means, epoch)
 
-        if val_loader is not None and (epoch + 1) % eval_interval == 0:
+        # On preemption, skip straight to the resumable save below: a full
+        # validation epoch (minutes at relay speeds) would burn the
+        # SIGTERM grace period and get the process SIGKILLed mid-eval
+        # with no checkpoint written.
+        if (val_loader is not None and (epoch + 1) % eval_interval == 0
+                and not shutdown.requested):
             vis_path = None
             if is_main and bool(training_cfg.get("save_visualizations", True)):
                 vis_path = os.path.join(

@@ -42,6 +42,22 @@ from denseclip_vit_multimodal_tpu.train.metrics import (
 from denseclip_vit_multimodal_tpu.train.state import TrainState
 
 
+def _applied_schedule_count(opt_state):
+    """Number of optimizer updates actually APPLIED so far: the count of
+    the first ScaleBySchedule/ScaleByAdam state found in the tree (all
+    trainable groups share the global finite gate, so their counts agree).
+    None if the optimizer carries no counted transform."""
+    import optax
+
+    counted = (optax.ScaleByScheduleState, optax.ScaleByAdamState)
+    for leaf in jax.tree.leaves(
+        opt_state, is_leaf=lambda x: isinstance(x, counted)
+    ):
+        if isinstance(leaf, counted):
+            return leaf.count
+    return None
+
+
 def _split_params(params, frozen_modules):
     trainable = {k: v for k, v in params.items() if k not in frozen_modules}
     frozen = {k: v for k, v in params.items() if k in frozen_modules}
@@ -134,10 +150,14 @@ def make_train_step(
                 parts_acc = jax.tree.map(jnp.add, parts_acc, p)
                 return (grads_acc, parts_acc, new_stats), None
 
-            g0, p0, s0 = microbatch_grads(
-                state, jax.tree.map(lambda x: x[0], micro), rng_drop
-            )
+            # Every microbatch gets a SPLIT of rng_drop: handing microbatch
+            # 0 the parent key alongside its children's streams is a PRNG-
+            # hygiene violation (threefry guarantees nothing between a key
+            # and its own splits).
             rngs = jax.random.split(rng_drop, grad_accum_steps)
+            g0, p0, s0 = microbatch_grads(
+                state, jax.tree.map(lambda x: x[0], micro), rngs[0]
+            )
             (grads, parts, new_stats), _ = jax.lax.scan(
                 body,
                 (g0, p0, s0),
@@ -174,7 +194,13 @@ def make_train_step(
         metrics = dict(parts)
         metrics["skipped"] = (~finite).astype(jnp.float32)
         if schedule is not None:
-            metrics["lr"] = schedule(state.step)
+            # Report the lr this update actually APPLIES: the optimizer's
+            # schedule count advances only on applied updates, while
+            # state.step also counts NaN-skipped steps (reverted
+            # opt_state) — schedule(state.step) would permanently lead
+            # the real lr after any skip.
+            count = _applied_schedule_count(state.opt_state)
+            metrics["lr"] = schedule(state.step if count is None else count)
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,))

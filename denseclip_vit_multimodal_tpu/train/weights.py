@@ -51,12 +51,18 @@ def ensure_weights(path: str, logger=None, timeout: int = 600) -> Optional[str]:
 
     if process_index == 0:
         try:
+            import shutil
             import urllib.request
 
             os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
             log(f"downloading {url} -> {path}")
             tmp = path + ".part"
-            urllib.request.urlretrieve(url, tmp)
+            # urlretrieve has NO socket timeout: a stalled CDN connection
+            # would hang process 0 forever while the other hosts give up
+            # after `timeout` and then deadlock on the weight allgather.
+            with urllib.request.urlopen(url, timeout=60) as src, \
+                    open(tmp, "wb") as dst:
+                shutil.copyfileobj(src, dst)
             os.replace(tmp, path)
         except Exception as e:
             log(f"download failed ({e}); continuing without pretrained weights")

@@ -334,13 +334,57 @@ def test_async_checkpoint_roundtrip(tiny_setup, tmp_path):
     # restore through the `best` alias too
     _, epoch_b, _ = restore_checkpoint(str(tmp_path), state, which="best")
     assert epoch_b == 1
-    # a later SYNC save must replace the symlink with a real dir without
-    # clobbering the epoch dir it pointed at
+    # a later SYNC save uses the same alias scheme (one serialization,
+    # symlink repoint — r5: the old sync path re-serialized the payload
+    # once per alias) without clobbering the epoch dir it pointed at
     save_checkpoint(str(tmp_path), state, epoch=2, best_metric=0.7)
-    assert not os.path.islink(os.path.join(base, "latest"))
+    assert os.readlink(os.path.join(base, "latest")) == "epoch_2"
     _, epoch2, _ = restore_checkpoint(str(tmp_path), state)
     assert epoch2 == 2
     assert os.path.isdir(os.path.join(base, "epoch_1"))  # still intact
+
+
+def test_load_params_only_across_optimizer_types(tiny_setup, tmp_path):
+    """--load warm-starts weights from a run with a DIFFERENT optimizer
+    (SGD checkpoint -> AdamW run): the read must be template-free so an
+    opt_state tree mismatch cannot abort it (r5 review fix) — the
+    cross-config warm start is exactly what --load exists for (reference
+    train_denseclip.py:1012-1034 loads weights only)."""
+    from denseclip_vit_multimodal_tpu.models.denseclip import build_denseclip
+    from denseclip_vit_multimodal_tpu.train.checkpoint import (
+        load_params_only,
+        save_checkpoint,
+    )
+    from denseclip_vit_multimodal_tpu.train.state import create_train_state
+
+    model, texts, adamw_state = tiny_setup
+    variables = {
+        "params": adamw_state.params,
+        "batch_stats": adamw_state.batch_stats,
+    }
+    sgd_state = create_train_state(
+        model, variables,
+        {
+            "epochs": 4,
+            "optimizer": {"type": "SGD", "lr": 1e-2, "momentum": 0.9,
+                          "weight_decay": 1e-4},
+            "scheduler": {"type": "CosineAnnealingLR", "T_max": 4},
+        },
+        steps_per_epoch=2,
+    )
+    save_checkpoint(str(tmp_path), sgd_state, epoch=0)
+
+    warm = load_params_only(str(tmp_path), adamw_state)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        warm.params, sgd_state.params,
+    )
+    # optimizer/scheduler state stays THIS run's (fresh AdamW)
+    assert jax.tree_util.tree_structure(
+        warm.opt_state
+    ) == jax.tree_util.tree_structure(adamw_state.opt_state)
+    assert int(warm.step) == int(adamw_state.step)
 
 
 def test_async_crash_window_protections(tiny_setup, tmp_path):

@@ -184,12 +184,30 @@ def test_metrics_writer_emits_tb_event_files(tmp_path, caplog):
     os.makedirs(str(tmp_path / "w2"))
     builtins.__import__ = no_tbx
     try:
-        with caplog.at_level(logging.WARNING, logger="denseclip"):
+        # the warning must go to the CONFIGURED logger ("denseclip_tpu",
+        # setup_logger's name) so it lands in the train log's handlers —
+        # an unconfigured logger name only reaches stderr via lastResort.
+        # setup_logger sets propagate=False, so caplog's root handler
+        # never sees it: capture with a handler on the logger itself.
+        records = []
+
+        class _Capture(logging.Handler):
+            def emit(self, record):
+                records.append(record)
+
+        lg = logging.getLogger("denseclip_tpu")
+        cap = _Capture(level=logging.WARNING)
+        lg.addHandler(cap)
+        try:
             w2 = MetricsWriter(str(tmp_path / "w2"), enabled=True)
+        finally:
+            lg.removeHandler(cap)
     finally:
         builtins.__import__ = real_import
     assert w2.tb is None
-    assert any("tensorboardX unavailable" in r.message for r in caplog.records)
+    assert any(
+        "tensorboardX unavailable" in r.getMessage() for r in records
+    )
     w2.scalars("val", {"mIoU": 0.1}, step=1)  # no-op, must not raise
     w2.csv_row({"epoch": 0, "mIoU": 0.1})
     assert os.path.exists(w2.csv_path)
